@@ -1,0 +1,174 @@
+"""CSM dual-transformer parity and self-consistency.
+
+Greedy parity oracle: reference ``generate_frame`` semantics (reference
+sesameai/models.py:132-184) recreated in torch/numpy over HF Llama trunks
+(tests/oracles.py).  Bit-faithfulness under sampling is only defined
+under a shared trace (SURVEY.md §7 "hard parts"), so parity is asserted
+greedy; sampling is tested statistically in test_sampling.py.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from sesameai_tts_tpu.core.config import csm_test_tiny
+from sesameai_tts_tpu.models.csm import (
+    init_csm_params,
+    init_state,
+    embed_frames,
+    generate_frame,
+    decode_frames,
+)
+
+CFG = csm_test_tiny()
+
+
+@pytest.fixture(scope="module")
+def params():
+    return init_csm_params(jax.random.PRNGKey(0), CFG, dtype=jnp.float32)
+
+
+def _random_prompt(rng, S):
+    K = CFG.audio_num_codebooks
+    tokens = np.zeros((S, K + 1), np.int32)
+    mask = np.zeros((S, K + 1), bool)
+    n_text = S // 2
+    tokens[:n_text, K] = rng.integers(0, CFG.text_vocab_size, n_text)
+    mask[:n_text, K] = True
+    tokens[n_text:, :K] = rng.integers(0, CFG.audio_vocab_size, (S - n_text, K))
+    mask[n_text:, :K] = True
+    return tokens, mask
+
+
+def test_generate_frame_greedy_matches_oracle(params):
+    from oracles import oracle_generate_frame
+
+    rng = np.random.default_rng(0)
+    S = 9
+    tokens, mask = _random_prompt(rng, S)
+
+    state = init_state(CFG, 1, jnp.float32)
+    frame, state = generate_frame(
+        params,
+        CFG,
+        state,
+        jnp.asarray(tokens)[None],
+        jnp.asarray(mask)[None],
+        jax.random.PRNGKey(1),
+        temperature=1.0,
+        topk=1,  # greedy — sampler reduces to argmax
+    )
+    expected = oracle_generate_frame(params, CFG, tokens, mask)
+    np.testing.assert_array_equal(np.asarray(frame)[0], expected)
+    assert int(state.pos[0]) == S
+
+
+def test_padded_prefill_same_frame(params):
+    """Bucketed (right-padded) prefill must yield the identical frame."""
+    rng = np.random.default_rng(1)
+    S, PAD = 7, 16
+    tokens, mask = _random_prompt(rng, S)
+    tok_pad = np.zeros((PAD, CFG.audio_num_codebooks + 1), np.int32)
+    msk_pad = np.zeros((PAD, CFG.audio_num_codebooks + 1), bool)
+    tok_pad[:S], msk_pad[:S] = tokens, mask
+
+    f_a, st_a = generate_frame(
+        params, CFG, init_state(CFG, 1, jnp.float32),
+        jnp.asarray(tokens)[None], jnp.asarray(mask)[None],
+        jax.random.PRNGKey(2), temperature=1.0, topk=1,
+    )
+    f_b, st_b = generate_frame(
+        params, CFG, init_state(CFG, 1, jnp.float32),
+        jnp.asarray(tok_pad)[None], jnp.asarray(msk_pad)[None],
+        jax.random.PRNGKey(2), temperature=1.0, topk=1,
+        valid_len=jnp.array([S], jnp.int32),
+    )
+    np.testing.assert_array_equal(np.asarray(f_a), np.asarray(f_b))
+    assert int(st_b.pos[0]) == S
+
+
+def test_decode_frames_matches_stepwise(params):
+    """The fused multi-frame scan == repeated single generate_frame calls."""
+    rng = np.random.default_rng(2)
+    K = CFG.audio_num_codebooks
+    tokens, mask = _random_prompt(rng, 6)
+
+    state = init_state(CFG, 1, jnp.float32)
+    frame0, state = generate_frame(
+        params, CFG, state,
+        jnp.asarray(tokens)[None], jnp.asarray(mask)[None],
+        jax.random.PRNGKey(3), temperature=1.0, topk=1,
+    )
+
+    N = 4
+    keys = jax.random.split(jax.random.PRNGKey(4), N)
+
+    # stepwise
+    st = state
+    prev = frame0
+    expect = []
+    for t in range(N):
+        tok = jnp.concatenate([prev[:, None, :], jnp.zeros((1, 1, 1), jnp.int32)], -1)
+        msk = jnp.concatenate(
+            [jnp.ones((1, 1, K), bool), jnp.zeros((1, 1, 1), bool)], -1
+        )
+        f, st = generate_frame(
+            params, CFG, st, tok, msk, keys[t], temperature=1.0, topk=1
+        )
+        expect.append(np.asarray(f)[0])
+        prev = f
+
+    # fused scan — drive with the same per-frame keys by stubbing split
+    frames, valid, done, _ = decode_frames(
+        params, CFG, state, frame0, jnp.zeros((1,), bool),
+        jax.random.PRNGKey(4), N, temperature=1.0, topk=1,
+    )
+    frames = np.asarray(frames)[:, 0]
+    valid = np.asarray(valid)[:, 0]
+
+    # greedy: key differences are irrelevant (argmax), so sequences match
+    for t in range(N):
+        if valid[t]:
+            np.testing.assert_array_equal(frames[t], expect[t])
+
+
+def test_decode_frames_eos_masks_rest(params):
+    """All-zero frame => done; later frames are invalid and zeroed
+    (reference EOS rule, generator.py:182-184)."""
+    state = init_state(CFG, 1, jnp.float32)
+    rng = np.random.default_rng(3)
+    tokens, mask = _random_prompt(rng, 5)
+    frame0, state = generate_frame(
+        params, CFG, state,
+        jnp.asarray(tokens)[None], jnp.asarray(mask)[None],
+        jax.random.PRNGKey(5), temperature=1.0, topk=1,
+    )
+    frames, valid, done, _ = decode_frames(
+        params, CFG, state, frame0, jnp.ones((1,), bool),  # already done
+        jax.random.PRNGKey(6), 3, temperature=1.0, topk=1,
+    )
+    assert not np.asarray(valid).any()
+    assert np.asarray(frames).sum() == 0
+    assert bool(np.asarray(done)[0])
+
+
+def test_embed_frames_layout(params):
+    """33-column layout: col K is text, cols 0..K-1 audio with flat-table
+    offsets (reference models.py:190-203)."""
+    K = CFG.audio_num_codebooks
+    tokens = jnp.zeros((1, 1, K + 1), jnp.int32).at[0, 0, K].set(5)
+    mask = jnp.zeros((1, 1, K + 1), bool).at[0, 0, K].set(True)
+    out = embed_frames(params, CFG, tokens, mask)
+    np.testing.assert_allclose(
+        np.asarray(out)[0, 0], np.asarray(params["text_embeddings"][5]), rtol=1e-6
+    )
+
+    tokens = jnp.zeros((1, 1, K + 1), jnp.int32).at[0, 0, 2].set(7)
+    mask = jnp.zeros((1, 1, K + 1), bool).at[0, 0, 2].set(True)
+    out = embed_frames(params, CFG, tokens, mask)
+    np.testing.assert_allclose(
+        np.asarray(out)[0, 0],
+        np.asarray(params["audio_embeddings"][7 + 2 * CFG.audio_vocab_size]),
+        rtol=1e-6,
+    )
