@@ -1,0 +1,112 @@
+"""Benchmark: CSM-1B end-to-end RTF on one TPU chip.
+
+Prints ONE JSON line:
+  {"metric": "rtf_proc_per_audio", "value": RTF, "unit": "proc_s/audio_s",
+   "vs_baseline": RTF/0.1}
+
+RTF = wall-clock processing seconds per second of audio produced by the
+full pipeline (prefill → AR frame decode → Mimi decode), flagship
+CSM-1B shapes (random weights — identical compute profile to real
+ones).  North-star target is RTF ≤ 0.1 (BASELINE.md); vs_baseline < 1
+beats the target.  Secondary metrics go to stderr.
+
+The reference publishes no numbers (BASELINE.md); its measurement
+machinery is per-sentence RTF prints (reference tts_service.py:390-397)
+and a (1,512,33)-prefill frame-latency microbench (reference
+gputest.py:30-56) — both reproduced here.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from sesameai_tts_tpu.runtime.loader import build_generator, csm_1b_spec
+
+    dev = jax.devices()[0]
+    print(f"device: {dev}", file=sys.stderr)
+
+    t0 = time.time()
+    gen = build_generator(csm_1b_spec(), decode_chunk_frames=25)
+    print(f"build: {time.time()-t0:.1f}s", file=sys.stderr)
+
+    text = (
+        "The quick brown fox jumps over the lazy dog while the sun sets "
+        "behind the distant mountains and the river flows quietly onward."
+    )
+
+    # -- warm-up (compiles prefill bucket, decode chunk, mimi decode) ------
+    t0 = time.time()
+    frames = gen.generate_frames(text, 1, [], max_audio_length_ms=2_000,
+                                 temperature=0.8, topk=40)
+    _ = gen.decode_audio(frames) if len(frames) else None
+    print(f"warmup: {time.time()-t0:.1f}s ({len(frames)} frames)", file=sys.stderr)
+
+    # -- main RTF measurement: 10 s of audio -------------------------------
+    seconds = 10.0
+    runs = 3
+    rtfs = []
+    for i in range(runs):
+        t0 = time.time()
+        frames = gen.generate_frames(text, 1, [],
+                                     max_audio_length_ms=seconds * 1000,
+                                     temperature=0.8, topk=40)
+        audio = gen.decode_audio(frames)
+        proc = time.time() - t0
+        audio_s = len(audio) / gen.sample_rate
+        rtfs.append(proc / audio_s)
+        print(f"run {i}: {audio_s:.1f}s audio in {proc:.2f}s "
+              f"(RTF {proc/audio_s:.4f}, {len(frames)/proc:.1f} frames/s)",
+              file=sys.stderr)
+    rtf = float(np.median(rtfs))
+
+    # -- first-audio latency (prefill + 1 frame + 1-frame Mimi stream) ----
+    lat = []
+    for i in range(5):
+        t0 = time.time()
+        stream = gen.generate_stream(text, 1, [], max_audio_length_ms=400,
+                                     temperature=0.8, topk=40, chunk_frames=1)
+        chunk = next(iter(stream))
+        lat.append(time.time() - t0)
+    print(f"first-audio latency p50: {1000*float(np.median(lat)):.0f} ms "
+          f"(target < 200 ms)", file=sys.stderr)
+
+    # -- gputest parity: generate_frame on a 512-row prefill ---------------
+    from sesameai_tts_tpu.models import csm as csm_model
+
+    cfg = gen._cfg
+    K = cfg.audio_num_codebooks
+    tokens = jnp.zeros((1, 512, K + 1), jnp.int32)
+    mask = jnp.zeros((1, 512, K + 1), bool).at[:, :, K].set(True)
+    state0 = csm_model.init_state(cfg, 1, jnp.bfloat16)
+    frame, _ = gen._prefill(gen._params, state0, tokens, mask,
+                            jnp.array([512], jnp.int32), jax.random.PRNGKey(0),
+                            jnp.float32(0.8), 40)
+    jax.block_until_ready(frame)
+    t0 = time.time()
+    iters = 10
+    for _ in range(iters):
+        frame, _ = gen._prefill(gen._params, state0, tokens, mask,
+                                jnp.array([512], jnp.int32), jax.random.PRNGKey(0),
+                                jnp.float32(0.8), 40)
+    jax.block_until_ready(frame)
+    per = (time.time() - t0) / iters
+    print(f"generate_frame(512-prefill): {per*1000:.1f} ms ({1/per:.1f} it/s)",
+          file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "rtf_proc_per_audio",
+        "value": round(rtf, 4),
+        "unit": "proc_s/audio_s",
+        "vs_baseline": round(rtf / 0.1, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

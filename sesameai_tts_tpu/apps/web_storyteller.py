@@ -1,0 +1,225 @@
+"""Storyteller app — long-form narration with per-prompt audio groups
+(reference web_storyteller.py, C18).
+
+``StorytellerApp``: LLM story mode + pasted-text mode, continuation mode
+that appends sentences while earlier prompts' audio replays, per-prompt
+WAV persistence (``prompt_NN.wav`` in a session temp dir), and
+full-story combine with a timestamped download file.  The Gradio UI in
+``main`` is optional; the logic class is testable without it.
+"""
+
+from __future__ import annotations
+
+import datetime
+import logging
+import os
+import shutil
+import tempfile
+from typing import List, Optional
+
+from sesameai_tts_tpu.apps.web_base import WebAppBase
+from sesameai_tts_tpu.audio.segment import AudioClip
+from sesameai_tts_tpu.llm.client import global_config as llm_config
+
+logger = logging.getLogger(__name__)
+
+STORYTELLER_SYSTEM_PROMPT = (
+    "You are a master storyteller narrating aloud. Continue the story in "
+    "flowing prose suitable for speech: no headings, no lists, no markup, "
+    "numbers written as words. Keep continuity with everything so far."
+)
+
+
+class StorytellerApp(WebAppBase):
+    def __init__(self, voice: Optional[str] = None, model: str = "local-default", **kw):
+        llm_config.SYSTEM_MESSAGE = STORYTELLER_SYSTEM_PROMPT
+        super().__init__(voice=voice, model=model, **kw)
+        # one list of clips per prompt (reference web_storyteller.py:30-41)
+        self.prompt_audio_segments: List[List[AudioClip]] = []
+        self.story_parts: List[str] = []
+        self.session_dir = os.path.join(tempfile.gettempdir(), "storyteller_audio")
+        self._reset_session_dir()
+
+    def _reset_session_dir(self):
+        """Fresh session dir on start (reference web_storyteller.py:655-663)."""
+        shutil.rmtree(self.session_dir, ignore_errors=True)
+        os.makedirs(self.session_dir, exist_ok=True)
+
+    # -- story advancement --------------------------------------------------
+
+    def continue_story(self, prompt: str, use_llm: bool = True):
+        """Either ask the LLM to continue with `prompt`, or treat `prompt`
+        as pasted story text directly (the two tab modes,
+        reference web_storyteller.py:433-452).
+
+        Yields (story_text, status, start_idx, end_idx, active)."""
+        prompt = (prompt or "").strip()
+        if not prompt:
+            yield self.story_text, "Empty prompt.", 0, 0, False
+            return
+
+        if use_llm:
+            yield self.story_text, "Writing the next part...", 0, 0, False
+            try:
+                part = self.llm.query(prompt, plaintext_output=True, stream=False)
+            except Exception as e:
+                logger.exception("LLM failed")
+                yield self.story_text, f"LLM error: {e}", 0, 0, False
+                return
+        else:
+            part = prompt
+
+        self.story_parts.append(part)
+        self.prompt_audio_segments.append([])
+        new_sentences = self.split_text_into_sentences(part)
+        with self.lock:
+            start_idx = len(self.sentences)
+            self.sentences.extend(new_sentences)
+            end_idx = len(self.sentences)
+        yield (
+            self.story_text,
+            f"Narrating {len(new_sentences)} sentences...",
+            start_idx,
+            end_idx,
+            True,
+        )
+
+    @property
+    def story_text(self) -> str:
+        return "\n\n".join(self.story_parts)
+
+    def _store_audio_segment(self, clip: AudioClip, sentence_index: int):
+        if not self.prompt_audio_segments:
+            self.prompt_audio_segments.append([])
+        self.prompt_audio_segments[-1].append(clip)
+
+    # -- persistence --------------------------------------------------------
+
+    def save_current_prompt_audio(self) -> Optional[str]:
+        """Combine the latest prompt group → prompt_NN.wav (reference
+        web_storyteller.py:226-287)."""
+        if not self.prompt_audio_segments or not self.prompt_audio_segments[-1]:
+            return None
+        group = self.prompt_audio_segments[-1]
+        combined = group[0]
+        for clip in group[1:]:
+            combined = combined + clip
+        path = os.path.join(
+            self.session_dir, f"prompt_{len(self.prompt_audio_segments):02d}.wav"
+        )
+        combined.export(path)
+        self.temp_audio_files.append(path)
+        return path
+
+    def combine_full_story(self) -> Optional[str]:
+        """All prompts → one timestamped WAV (reference
+        web_storyteller.py:289-350)."""
+        clips = [c for group in self.prompt_audio_segments for c in group]
+        if not clips:
+            return None
+        combined = clips[0]
+        for clip in clips[1:]:
+            combined = combined + clip
+        stamp = datetime.datetime.now().strftime("%Y%m%d_%H%M%S")
+        path = os.path.join(self.session_dir, f"story_{stamp}.wav")
+        combined.export(path)
+        return path
+
+    def sentence_generator_loop(self, *args, **kwargs):
+        """Auto-save the prompt group when the loop drains (reference
+        web_storyteller.py:483-549)."""
+        for item in super().sentence_generator_loop(*args, **kwargs):
+            active, audio = item
+            if not active:
+                saved = self.save_current_prompt_audio()
+                if saved:
+                    self.update_status(f"Saved prompt audio: {saved}")
+            yield item
+
+    def reset_story(self):
+        self.story_parts = []
+        self.prompt_audio_segments = []
+        self.clear_session()
+        self._reset_session_dir()
+
+    def clear_ui(self):
+        self.llm.history_manager.clear_history()
+
+
+def main(argv=None):
+    import argparse
+
+    parser = argparse.ArgumentParser(description="CSM storyteller (TPU)")
+    parser.add_argument("-m", "--model", type=str, default="local-default")
+    parser.add_argument("-v", "--voice", type=str, default=None)
+    parser.add_argument("--voices", type=str, default=None)
+    parser.add_argument("--flavor", type=str, default="csm-1b",
+                        choices=["csm-1b", "test-tiny"])
+    parser.add_argument("--port", type=int, default=7861)
+    args = parser.parse_args(argv)
+
+    try:
+        import gradio as gr
+    except ImportError:
+        raise SystemExit(
+            "gradio is not installed; install it to serve the web UI. "
+            "The StorytellerApp logic class works without it."
+        )
+
+    from sesameai_tts_tpu.runtime.loader import csm_1b_spec, test_tiny_spec
+
+    spec = test_tiny_spec() if args.flavor == "test-tiny" else csm_1b_spec()
+    app = StorytellerApp(voice=args.voice, model=args.model, spec=spec, voices=args.voices)
+
+    with gr.Blocks(title="Sesame Storyteller (TPU)") as demo:
+        story = gr.Textbox(label="Story so far", lines=14, interactive=False)
+        status = gr.Textbox(label="Status", interactive=False)
+        audio_out = gr.Audio(autoplay=True, streaming=True)
+        with gr.Tab("LLM story"):
+            prompt = gr.Textbox(label="What happens next?")
+            go = gr.Button("Continue story")
+        with gr.Tab("Paste text"):
+            pasted = gr.Textbox(label="Text to narrate", lines=6)
+            narrate = gr.Button("Narrate")
+        with gr.Row():
+            temp = gr.Slider(0.1, 1.2, value=0.9, label="Temperature")
+            speed = gr.Slider(1.0, 1.6, value=1.2, label="Speech speed")
+            voice_dd = gr.Dropdown(
+                choices=app.list_available_voices(), value=app.current_voice,
+                label="Voice",
+            )
+        with gr.Row():
+            save_btn = gr.Button("Download full story")
+            reset_btn = gr.Button("Reset story")
+        story_file = gr.File(label="Story WAV")
+
+        rng_state = gr.State((0, 0))
+        act_state = gr.State(False)
+
+        def drive(p, t, use_llm):
+            for text, st, s, e, a in app.continue_story(p, use_llm=use_llm):
+                yield text, st, (s, e), a
+
+        def pump(rng, active, t, sp):
+            for act, audio in app.sentence_generator_loop(
+                rng[0], rng[1], active, temperature=t, speed_factor=sp
+            ):
+                if audio is not None:
+                    yield audio
+
+        go.click(drive, [prompt, temp, gr.State(True)],
+                 [story, status, rng_state, act_state]).then(
+            pump, [rng_state, act_state, temp, speed], [audio_out])
+        narrate.click(drive, [pasted, temp, gr.State(False)],
+                      [story, status, rng_state, act_state]).then(
+            pump, [rng_state, act_state, temp, speed], [audio_out])
+        save_btn.click(app.combine_full_story, [], [story_file])
+        reset_btn.click(lambda: (app.reset_story(), "", "Story reset.")[1:],
+                        [], [story, status])
+        voice_dd.change(app.change_voice, [voice_dd], [status])
+
+    demo.queue(max_size=20).launch(server_name="0.0.0.0", server_port=args.port)
+
+
+if __name__ == "__main__":
+    main()

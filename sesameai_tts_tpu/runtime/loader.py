@@ -1,0 +1,94 @@
+"""Model assembly — the equivalent of the reference's ``load_csm_1b``
+(reference generator.py:330-346): build the CSM model + Mimi + tokenizer
+and wrap them in a Generator.
+
+Where the reference downloads from the HF hub and calls
+``torch.compile``, this loader reads **local** checkpoints (or random
+init for tests/benchmarks — identical compute profile) and relies on
+``jax.jit``: every hot program is compiled by XLA, backbone included
+(the reference only compiles the decoder, generator.py:339-340).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from sesameai_tts_tpu.codec.mimi import Mimi, MimiConfig, mimi_test_tiny
+from sesameai_tts_tpu.core.config import CSMConfig, csm_1b, csm_test_tiny
+from sesameai_tts_tpu.core.weights import load_csm_checkpoint
+from sesameai_tts_tpu.models.csm import init_csm_params
+from sesameai_tts_tpu.runtime.generator import Generator
+from sesameai_tts_tpu.tokenizer import load_text_tokenizer
+
+
+@dataclass
+class ModelSpec:
+    """One typed config for model assembly (replaces the reference's
+    scattered argparse defaults; SURVEY.md §5 config audit)."""
+
+    csm: CSMConfig
+    mimi: MimiConfig
+    tokenizer: str  # 'byte' | 'tiny' | local tokenizer.json path
+    csm_checkpoint: Optional[str] = None  # None → random init
+    mimi_checkpoint: Optional[str] = None
+    dtype: jnp.dtype = jnp.bfloat16
+    seed: int = 0
+
+
+def csm_1b_spec(
+    csm_checkpoint: Optional[str] = None,
+    mimi_checkpoint: Optional[str] = None,
+    tokenizer: str = "byte",
+) -> ModelSpec:
+    return ModelSpec(
+        csm=csm_1b(), mimi=MimiConfig(),
+        tokenizer=tokenizer,
+        csm_checkpoint=csm_checkpoint, mimi_checkpoint=mimi_checkpoint,
+    )
+
+
+def test_tiny_spec() -> ModelSpec:
+    return ModelSpec(
+        csm=csm_test_tiny(), mimi=mimi_test_tiny(), tokenizer="tiny",
+        dtype=jnp.float32,
+    )
+
+
+def build_generator(spec: ModelSpec, **gen_kwargs) -> Generator:
+    key = jax.random.PRNGKey(spec.seed)
+    k_csm, k_mimi = jax.random.split(key)
+
+    if spec.csm_checkpoint:
+        csm_params = load_csm_checkpoint(spec.csm_checkpoint, spec.csm, spec.dtype)
+    else:
+        csm_params = init_csm_params(k_csm, spec.csm, spec.dtype)
+
+    # num_codebooks must agree between model and codec
+    assert spec.mimi.num_codebooks == spec.csm.audio_num_codebooks
+
+    mimi = Mimi(spec.mimi)
+    if spec.mimi_checkpoint:
+        from sesameai_tts_tpu.core.weights import load_pytree
+
+        mimi_params = load_pytree(spec.mimi_checkpoint, like=mimi.init(k_mimi, jnp.float32))
+    else:
+        mimi_params = mimi.init(k_mimi, jnp.float32)
+
+    tokenizer = load_text_tokenizer(spec.tokenizer)
+    return Generator(csm_params, spec.csm, mimi, mimi_params, tokenizer, **gen_kwargs)
+
+
+def load_csm_1b(
+    csm_checkpoint: Optional[str] = None,
+    mimi_checkpoint: Optional[str] = None,
+    tokenizer: str = "byte",
+    **gen_kwargs,
+) -> Generator:
+    """Name-compatible entry point (reference generator.py:330)."""
+    return build_generator(
+        csm_1b_spec(csm_checkpoint, mimi_checkpoint, tokenizer), **gen_kwargs
+    )

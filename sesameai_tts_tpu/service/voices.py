@@ -1,0 +1,82 @@
+"""Voice registry: named voices = {wav_path: transcript} clip dicts.
+
+Parity with the reference's discovery-by-reflection over ``samples.py``
+module dicts (reference tts_service.py:37-42, samples.py), plus two
+offline-friendly sources: a JSON file and a directory convention
+(``<dir>/<voice>/<clip>.wav`` + ``<clip>.txt``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, Optional
+
+
+VoiceData = Dict[str, str]  # wav_path -> transcript
+
+
+def discover_from_module(module) -> Dict[str, VoiceData]:
+    """Reflect public dict attributes of a samples-style module
+    (reference tts_service.py:37-42)."""
+    return {
+        name: obj
+        for name, obj in vars(module).items()
+        if not name.startswith("__") and isinstance(obj, dict)
+    }
+
+
+def discover_from_json(path: str) -> Dict[str, VoiceData]:
+    """{"voice": {"clip.wav": "transcript", ...}, ...}; relative wav
+    paths resolve against the JSON file's directory."""
+    with open(path) as f:
+        reg = json.load(f)
+    base = os.path.dirname(os.path.abspath(path))
+    out: Dict[str, VoiceData] = {}
+    for voice, clips in reg.items():
+        out[voice] = {
+            (p if os.path.isabs(p) else os.path.join(base, p)): t
+            for p, t in clips.items()
+        }
+    return out
+
+
+def discover_from_dir(root: str) -> Dict[str, VoiceData]:
+    """<root>/<voice>/*.wav with sibling .txt transcripts."""
+    out: Dict[str, VoiceData] = {}
+    if not os.path.isdir(root):
+        return out
+    for voice in sorted(os.listdir(root)):
+        vdir = os.path.join(root, voice)
+        if not os.path.isdir(vdir):
+            continue
+        clips: VoiceData = {}
+        for f in sorted(os.listdir(vdir)):
+            if f.endswith(".wav"):
+                txt = os.path.join(vdir, f[:-4] + ".txt")
+                if os.path.exists(txt):
+                    with open(txt) as t:
+                        clips[os.path.join(vdir, f)] = t.read().strip()
+        if clips:
+            out[voice] = clips
+    return out
+
+
+def load_registry(spec: Optional[str] = None) -> Dict[str, VoiceData]:
+    """spec: None (try ./samples.py then ./voices/), a .py module path,
+    a .json path, or a directory."""
+    if spec is None:
+        if os.path.exists("samples.py"):
+            return load_registry("samples.py")
+        return discover_from_dir("voices")
+    if spec.endswith(".json"):
+        return discover_from_json(spec)
+    if spec.endswith(".py"):
+        import importlib.util
+
+        name = os.path.splitext(os.path.basename(spec))[0]
+        mod_spec = importlib.util.spec_from_file_location(name, spec)
+        module = importlib.util.module_from_spec(mod_spec)
+        mod_spec.loader.exec_module(module)
+        return discover_from_module(module)
+    return discover_from_dir(spec)

@@ -1,0 +1,83 @@
+"""Sharded training step: optax + jit over a ('dp','tp') mesh.
+
+Greenfield capability (the reference is inference-only, SURVEY.md §5):
+data parallelism over 'dp', megatron-style tensor parallelism over 'tp'
+via parameter shardings (parallel/mesh.py).  XLA inserts all
+collectives; gradients reduce over 'dp' automatically because the batch
+is 'dp'-sharded and the loss is a global mean.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from sesameai_tts_tpu.core.config import CSMConfig
+from sesameai_tts_tpu.parallel.mesh import (
+    batch_sharding,
+    csm_param_specs,
+    shard_params,
+    sharding_tree,
+)
+from sesameai_tts_tpu.training.loss import Batch, csm_loss
+
+
+class TrainState(NamedTuple):
+    params: dict
+    opt_state: Any
+    step: jnp.ndarray
+
+
+def make_optimizer(
+    lr: float = 1e-4, weight_decay: float = 0.01, warmup: int = 100
+) -> optax.GradientTransformation:
+    sched = optax.warmup_cosine_decay_schedule(
+        0.0, lr, warmup, 10_000, end_value=lr * 0.1
+    )
+    return optax.chain(
+        optax.clip_by_global_norm(1.0),
+        optax.adamw(sched, b1=0.9, b2=0.95, weight_decay=weight_decay),
+    )
+
+
+def init_train_state(params: dict, tx: optax.GradientTransformation) -> TrainState:
+    return TrainState(params=params, opt_state=tx.init(params), step=jnp.int32(0))
+
+
+def make_train_step(cfg: CSMConfig, tx: optax.GradientTransformation, decoder_frames: int = 4):
+    """→ jitted (state, batch) → (state, metrics). Donates state."""
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, batch: Batch) -> Tuple[TrainState, dict]:
+        def loss_fn(p):
+            return csm_loss(p, cfg, batch, decoder_frames)
+
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return TrainState(params, opt_state, state.step + 1), metrics
+
+    return train_step
+
+
+def make_sharded_train_state(
+    key: jax.Array, cfg: CSMConfig, mesh, tx: optax.GradientTransformation, dtype=jnp.float32
+) -> TrainState:
+    """Init params already sharded over the mesh (tp rules) and build the
+    optimizer state with matching shardings."""
+    from sesameai_tts_tpu.models.csm import init_csm_params
+
+    params = init_csm_params(key, cfg, dtype)
+    params = shard_params(params, mesh, csm_param_specs())
+    opt_state = tx.init(params)  # inherits param shardings leaf-wise
+    return TrainState(params=params, opt_state=opt_state, step=jnp.int32(0))
+
+
+def shard_batch(batch: Batch, mesh) -> Batch:
+    sh = batch_sharding(mesh)
+    return Batch(*(jax.device_put(x, sh) for x in batch))

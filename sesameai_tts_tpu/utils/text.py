@@ -1,0 +1,57 @@
+"""Text cleaning + sentence splitting for TTS input.
+
+Behavior parity with the reference cleaners (reference
+utils/tts_utils.py:13-45 ``clean_text_for_tts`` and the sentence
+splitters at tts_service.py:339 / utils/tts_base.py:37-59): strip
+markdown/code/links/HTML, whitelist TTS-safe characters, normalize
+whitespace and repeated punctuation, em-dash → ellipsis.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import List
+
+
+def clean_text_for_tts(text) -> str:
+    if not isinstance(text, str):
+        text = str(text)
+
+    text = text.replace("—", "...")
+    text = re.sub(r"```[\s\S]*?```", "", text)  # code blocks
+    text = re.sub(r"`[^`]*`", "", text)  # inline code
+    text = re.sub(r"\[([^\]]+)\]\([^)]+\)", r"\1", text)  # md links → text
+    text = re.sub(r"(\*\*|__)(.*?)\1", r"\2", text)  # bold
+    text = re.sub(r"(\*|_)(.*?)\1", r"\2", text)  # italics
+    text = re.sub(r"<[^>]*>", "", text)  # html tags
+    text = re.sub(r"[^\w\s.,!?:;\'\"-]", "", text)  # charset whitelist
+    text = re.sub(r"\s+", " ", text)  # whitespace
+    text = re.sub(r"([.,!?:;-])\1+", r"\1", text)  # "!!" → "!"
+    text = re.sub(r"([.,!?:;-])(\w)", r"\1 \2", text)  # space after punct
+    return text.strip()
+
+
+def split_sentences(text: str) -> List[str]:
+    """Sentence split on terminal punctuation (reference
+    tts_service.py:339 regex ``(?<=[.!?])\\s+``)."""
+    return [s for s in re.split(r"(?<=[.!?])\s+", text.strip()) if s.strip()]
+
+
+def split_clean_sentences(text: str) -> List[str]:
+    """Clean then split, keeping delimiters attached (reference
+    tts_base.py:37-59 semantics)."""
+    cleaned = clean_text_for_tts(text)
+    parts = re.split(r"([.!?])(\s+|$)", cleaned)
+    out: List[str] = []
+    current = ""
+    for i in range(0, len(parts), 3):
+        part = parts[i] if i < len(parts) else ""
+        delim = parts[i + 1] if i + 1 < len(parts) else ""
+        if part:
+            current += part + delim
+            if delim and current.strip():
+                out.append(current.strip())
+                current = ""
+    if current.strip():
+        out.append(current.strip())
+    return [s for s in out if s]

@@ -1,0 +1,292 @@
+"""Audio watermarking: on-device spread-spectrum embed/verify.
+
+Role parity with the reference's silentcipher integration (reference
+sesameai/watermarking.py:20-59, SURVEY.md C-N3): 44.1 kHz operating
+rate, 5-byte message key, ``message_sdr`` strength control,
+``phase_shift_decoding`` alignment search, embed→verify round trip, and
+the public CSM key constant.
+
+The reference's watermark is a learned DNN (silentcipher, weights not
+redistributable).  This module implements a **functional** watermark —
+STFT-domain multiplicative spread spectrum — so the capability is real
+and self-verifying:
+
+* payload: 5 bytes; byte slot s owns every 5th STFT cell; within a slot,
+  cells cycle through 256 chip classes; byte value v selects the cyclic
+  shift of a fixed ±1 PRN sequence (m-sequence-style CDMA codebook), so
+  blind decode of all 256 values per slot is one circular correlation;
+* embed: ``M' = M · (1 + α·chip)`` on bins 300 Hz–10.5 kHz (survives the
+  44.1 k↔24 k round trip, reference watermarking.py:35-39), α from
+  ``message_sdr`` (dB below per-bin signal);
+* decode: detrended log-magnitude (local box blur removes speech
+  structure), per-slot chip-class means, circular correlation against
+  the PRN; ``phase_shift_decoding`` searches sub-hop alignments
+  (the semantics of reference watermarking.py:51);
+* everything is jittable JAX — embed/verify run on the TPU as part of
+  the generation pipeline (padding to frame buckets keeps shapes
+  static).
+
+A converter interface for real silentcipher weights can replace this
+module later without touching callers (watermark/api.py).
+"""
+
+from __future__ import annotations
+
+import math
+from functools import lru_cache, partial
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Public CSM watermark key (reference watermarking.py:7-9 — public, not secret)
+CSM_1B_WATERMARK = [212, 211, 146, 56, 201]
+
+WATERMARK_RATE = 44_100
+N_FFT = 2048
+HOP = 512
+N_BYTES = 5
+N_CODES = 256
+_BIN_LO = int(300 * N_FFT / WATERMARK_RATE)  # ≈ 300 Hz
+_BIN_HI = int(10_500 * N_FFT / WATERMARK_RATE)  # ≈ 10.5 kHz
+_PRN_SEED = 1830293  # fixed, public (key secrecy is the payload, as in reference)
+
+
+@lru_cache(maxsize=1)
+def _prn() -> np.ndarray:
+    rng = np.random.default_rng(_PRN_SEED)
+    return (rng.integers(0, 2, N_CODES) * 2 - 1).astype(np.float32)
+
+
+_BLOCK_T = 4  # chip blocks span 4 frames × 4 bins: with 75% STFT overlap,
+_BLOCK_F = 4  # neighbouring frames carry the same chip, so overlap-add
+#               reconstruction preserves (instead of averaging away) the mark
+
+
+@lru_cache(maxsize=8)
+def _cell_tables(frames: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-STFT-cell (slot, chip-class) assignment for a given frame count."""
+    nbins = _BIN_HI - _BIN_LO
+    bt = np.arange(frames)[:, None] // _BLOCK_T
+    bf = np.arange(nbins)[None, :] // _BLOCK_F
+    nbf = (nbins + _BLOCK_F - 1) // _BLOCK_F
+    block = bt * nbf + bf
+    slots = (block % N_BYTES).astype(np.int32)
+    chips = ((block // N_BYTES) % N_CODES).astype(np.int32)
+    return slots, chips
+
+
+def _stft(x: jnp.ndarray, frames: int) -> jnp.ndarray:
+    win = jnp.asarray(np.hanning(N_FFT).astype(np.float32))
+    starts = jnp.arange(frames) * HOP
+    segs = jax.vmap(lambda s: jax.lax.dynamic_slice(x, (s,), (N_FFT,)))(starts)
+    return jnp.fft.rfft(segs * win, axis=-1)  # (frames, N_FFT//2+1)
+
+
+def _istft(spec: jnp.ndarray, length: int) -> jnp.ndarray:
+    win = jnp.asarray(np.hanning(N_FFT).astype(np.float32))
+    frames = spec.shape[0]
+    segs = jnp.fft.irfft(spec, n=N_FFT, axis=-1) * win
+    out = jnp.zeros((length + N_FFT,), jnp.float32)
+    wsum = jnp.zeros((length + N_FFT,), jnp.float32)
+    starts = np.arange(frames) * HOP
+
+    def body(i, carry):
+        out, wsum = carry
+        s = i * HOP
+        out = jax.lax.dynamic_update_slice(
+            out, jax.lax.dynamic_slice(out, (s,), (N_FFT,)) + segs[i], (s,)
+        )
+        wsum = jax.lax.dynamic_update_slice(
+            wsum, jax.lax.dynamic_slice(wsum, (s,), (N_FFT,)) + win * win, (s,)
+        )
+        return out, wsum
+
+    out, wsum = jax.lax.fori_loop(0, frames, body, (out, wsum))
+    return (out / jnp.maximum(wsum, 1e-8))[:length]
+
+
+def _chip_signs(message: jnp.ndarray, frames: int) -> jnp.ndarray:
+    """±1 chip per (frame, bin) cell given the 5-byte message."""
+    slots, chips = _cell_tables(frames)
+    prn = jnp.asarray(_prn())
+    shift = message[slots]  # (frames, nbins) byte value per cell
+    return prn[(chips + shift) % N_CODES]
+
+
+_EDGE_FRAMES = 4  # leave STFT edges unmodified: partial window coverage
+#                   there amplifies modifications ~20 dB through the
+#                   1/Σwin² OLA normalization
+
+
+@partial(jax.jit, static_argnames=("frames",))
+def _embed_jit(x: jnp.ndarray, message: jnp.ndarray, alpha: jnp.ndarray, frames: int):
+    spec = _stft(x, frames)
+    signs = _chip_signs(message, frames)
+    interior = (
+        (jnp.arange(frames) >= _EDGE_FRAMES)
+        & (jnp.arange(frames) < frames - _EDGE_FRAMES)
+    )[:, None].astype(jnp.float32)
+    gain = jnp.ones_like(spec.real).at[:, _BIN_LO:_BIN_HI].set(
+        1.0 + alpha * signs * interior
+    )
+    return _istft(spec * gain, x.shape[0])
+
+
+def _box_blur(x: jnp.ndarray, k: int = 17) -> jnp.ndarray:
+    """Separable local mean over (frames, bins) with edge renorm."""
+    ones = jnp.ones_like(x)
+
+    def blur1d(v, axis):
+        kernel = jnp.ones((k,), v.dtype)
+        pad = k // 2
+        mv = jnp.moveaxis(v, axis, -1)
+        shape = mv.shape
+        flat = mv.reshape(-1, 1, shape[-1])
+        y = jax.lax.conv_general_dilated(
+            flat, kernel[None, None, :], (1,), [(pad, pad)],
+            dimension_numbers=("NCH", "OIH", "NCH"),
+        )
+        return jnp.moveaxis(y.reshape(shape), -1, axis)
+
+    num = blur1d(blur1d(x, 0), 1)
+    den = blur1d(blur1d(ones, 0), 1)
+    return num / den
+
+
+@partial(jax.jit, static_argnames=("frames",))
+def _slot_scores_jit(x: jnp.ndarray, frames: int, valid_frames: jnp.ndarray) -> jnp.ndarray:
+    """→ (N_BYTES, N_CODES) correlation score for every byte value.
+
+    ``valid_frames`` masks bucket padding out of the class means — padded
+    cells would otherwise dilute every correlation by real/bucket."""
+    spec = _stft(x, frames)
+    logm = jnp.log(jnp.abs(spec[:, _BIN_LO:_BIN_HI]) + 1e-8)
+    resid = logm - _box_blur(logm)
+    fmask = (
+        (jnp.arange(frames) >= _EDGE_FRAMES) & (jnp.arange(frames) < valid_frames)
+    )[:, None].astype(jnp.float32)
+
+    slots, chips = _cell_tables(frames)
+    slots_j, chips_j = jnp.asarray(slots), jnp.asarray(chips)
+
+    flat_r = (resid * fmask).reshape(-1)
+    flat_w = jnp.broadcast_to(fmask, resid.shape).reshape(-1)
+    flat_s = slots_j.reshape(-1)
+    flat_c = chips_j.reshape(-1)
+    # mean residual per (slot, chip class)
+    lin = flat_s * N_CODES + flat_c
+    sums = jnp.zeros((N_BYTES * N_CODES,), jnp.float32).at[lin].add(flat_r)
+    cnts = jnp.zeros((N_BYTES * N_CODES,), jnp.float32).at[lin].add(flat_w)
+    r = (sums / jnp.maximum(cnts, 1.0)).reshape(N_BYTES, N_CODES)
+    r = r - jnp.mean(r, axis=1, keepdims=True)
+
+    # score[v] = Σ_c r[c]·prn[(c+v) mod 256] for all v via FFT:
+    # irfft(R·conj(P))[k] = Σ_c r[c]·prn[(c−k)], so index at k = −v mod 256
+    prn = jnp.asarray(_prn())
+    R = jnp.fft.rfft(r, axis=-1)
+    P = jnp.fft.rfft(prn)
+    corr_neg = jnp.fft.irfft(R * jnp.conj(P), n=N_CODES, axis=-1)
+    idx = (-jnp.arange(N_CODES)) % N_CODES
+    corr = corr_neg[:, idx]
+    # normalize to z-scores within each slot
+    corr = (corr - jnp.mean(corr, axis=-1, keepdims=True)) / (
+        jnp.std(corr, axis=-1, keepdims=True) + 1e-8
+    )
+    return corr  # score[s, v] high where v is the embedded byte
+
+
+def _pad_to_frames(x: np.ndarray) -> Tuple[np.ndarray, int]:
+    frames = max(1, 1 + (len(x) - N_FFT) // HOP if len(x) >= N_FFT else 1)
+    # bucket frames to limit recompiles
+    bucket = 1 << (frames - 1).bit_length()
+    need = N_FFT + (bucket - 1) * HOP
+    if len(x) < need:
+        x = np.concatenate([x, np.zeros(need - len(x), np.float32)])
+    return x, bucket
+
+
+class Watermarker:
+    """API shape of ``silentcipher.server.Model`` as the reference uses it
+    (encode_wav / decode_wav, reference watermarking.py:36, 51).
+
+    Detection statistics: per (slot, value), scores are z-normalized
+    correlations.  With a known expected message (the verify path,
+    reference watermarking.py:43-59) the joint statistic
+    ``Σ_s z[s, key_s] / √5`` is N(0,1) under the null — threshold 4 ⇒
+    ~1e-4 false-positive rate (incl. the 4-offset alignment search), and ≈ z·√5 under embedding, so verify is
+    reliable at the default 36 dB strength.  Blind decode (no expected
+    message) takes per-slot argmax and thresholds the mean max-z against
+    the max-of-256 null (~2.9)."""
+
+    def __init__(self, verify_threshold: float = 4.0, blind_threshold: float = 3.6):
+        self.verify_threshold = verify_threshold
+        self.blind_threshold = blind_threshold
+
+    def encode_wav(
+        self,
+        audio: np.ndarray,
+        sample_rate: int,
+        message: List[int],
+        calc_sdr: bool = False,
+        message_sdr: float = 36.0,
+    ) -> Tuple[np.ndarray, Optional[float]]:
+        assert sample_rate == WATERMARK_RATE, "embed operates at 44.1 kHz"
+        assert len(message) == N_BYTES
+        x = np.asarray(audio, np.float32).reshape(-1)
+        orig_len = len(x)
+        xp, frames = _pad_to_frames(x)
+        alpha = jnp.float32(10.0 ** (-message_sdr / 20.0))
+        y = _embed_jit(jnp.asarray(xp), jnp.asarray(message, jnp.int32), alpha, frames)
+        y = np.asarray(y)[:orig_len]
+        sdr = None
+        if calc_sdr:
+            noise = y - x[:orig_len]
+            sdr = 10.0 * math.log10(
+                float(np.sum(x**2)) / max(float(np.sum(noise**2)), 1e-12)
+            )
+        return y, sdr
+
+    def decode_wav(
+        self,
+        audio: np.ndarray,
+        sample_rate: int,
+        phase_shift_decoding: bool = False,
+        expected_message: Optional[List[int]] = None,
+    ) -> dict:
+        assert sample_rate == WATERMARK_RATE
+        x = np.asarray(audio, np.float32).reshape(-1)
+        offsets = [0, HOP // 4, HOP // 2, 3 * HOP // 4] if phase_shift_decoding else [0]
+        best = None
+        for off in offsets:
+            xo, frames = _pad_to_frames(x[off:])
+            n_valid = max(1, 1 + (len(x) - off - N_FFT) // HOP) if len(x) - off >= N_FFT else 1
+            scores = np.asarray(
+                _slot_scores_jit(jnp.asarray(xo), frames, jnp.int32(n_valid))
+            )
+            if expected_message is not None:
+                conf = float(
+                    sum(scores[s, expected_message[s]] for s in range(N_BYTES))
+                ) / math.sqrt(N_BYTES)
+            else:
+                conf = float(scores.max(axis=1).mean())
+            if best is None or conf > best[0]:
+                best = (conf, scores)
+        conf, scores = best
+        if expected_message is not None:
+            status = conf >= self.verify_threshold
+            message = list(expected_message)
+        else:
+            status = conf >= self.blind_threshold
+            message = [int(v) for v in scores.argmax(axis=1)]
+        return {
+            "status": bool(status),
+            "messages": [message] if status else [],
+            "confidence": conf,
+        }
+
+
+def load_watermarker(detection_threshold: float = 5.0) -> Watermarker:
+    """Parity constructor (reference watermarking.py:20-25)."""
+    return Watermarker(detection_threshold)

@@ -1,0 +1,223 @@
+"""Mimi codec: conv/transformer/RVQ unit properties + streaming==offline.
+
+The streaming-equals-offline property is the codec's core contract — it
+is what lets the runtime emit audio frame-by-frame (reference buffers 10
+frames because moshi streaming state is opaque to it, reference
+generator.py:61, 189).
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from sesameai_tts_tpu.codec.conv import CausalConv1d, CausalConvTranspose1d
+from sesameai_tts_tpu.codec.mimi import Mimi, mimi_test_tiny
+from sesameai_tts_tpu.codec.rvq import (
+    RVQConfig,
+    init_split_rvq,
+    split_rvq_decode,
+    split_rvq_encode,
+)
+from sesameai_tts_tpu.codec.transformer import (
+    CodecTransformerConfig,
+    codec_transformer_forward,
+    init_codec_cache,
+    init_codec_transformer,
+    precompute_codec_rope,
+)
+
+
+# ---------------------------------------------------------------------------
+# convs
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("stride,kernel,dilation", [(1, 7, 1), (1, 3, 2), (4, 8, 1)])
+def test_causal_conv_streaming_matches_offline(stride, kernel, dilation):
+    spec = CausalConv1d(3, 5, kernel, stride=stride, dilation=dilation)
+    params = spec.init(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 3, 8 * stride * 3))
+
+    full = spec.apply(params, x)
+
+    state = spec.init_state(2)
+    chunks = []
+    csize = 4 * stride
+    for i in range(0, x.shape[-1], csize):
+        y, state = spec.apply_streaming(params, x[:, :, i : i + csize], state)
+        chunks.append(y)
+    streamed = jnp.concatenate(chunks, axis=-1)
+    np.testing.assert_allclose(np.asarray(streamed), np.asarray(full), atol=1e-5)
+
+
+def test_causal_conv_is_causal():
+    spec = CausalConv1d(1, 1, 5)
+    params = spec.init(jax.random.PRNGKey(0))
+    x = jnp.zeros((1, 1, 16))
+    y0 = spec.apply(params, x)
+    y1 = spec.apply(params, x.at[0, 0, 10].set(100.0))
+    # outputs before t=10 unaffected by a future change
+    np.testing.assert_allclose(np.asarray(y0[0, 0, :10]), np.asarray(y1[0, 0, :10]))
+    assert not np.allclose(np.asarray(y0[0, 0, 10:]), np.asarray(y1[0, 0, 10:]))
+
+
+@pytest.mark.parametrize("stride,kernel", [(2, 4), (4, 8), (5, 10)])
+def test_causal_convtr_streaming_matches_offline(stride, kernel):
+    spec = CausalConvTranspose1d(3, 2, kernel, stride=stride)
+    params = spec.init(jax.random.PRNGKey(0))
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 3, 12))
+
+    full = spec.apply(params, x)
+    assert full.shape[-1] == 12 * stride
+
+    state = spec.init_state(2)
+    chunks = []
+    for i in range(0, 12, 3):
+        y, state = spec.apply_streaming(params, x[:, :, i : i + 3], state)
+        chunks.append(y)
+    streamed = jnp.concatenate(chunks, axis=-1)
+    np.testing.assert_allclose(np.asarray(streamed), np.asarray(full), atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# codec transformer
+# ---------------------------------------------------------------------------
+
+TCFG = CodecTransformerConfig(num_layers=2, d_model=16, num_heads=2, dim_feedforward=32, context=8)
+
+
+def test_codec_transformer_streaming_matches_offline():
+    params = init_codec_transformer(jax.random.PRNGKey(0), TCFG)
+    rope = precompute_codec_rope(TCFG, 64)
+    B, S = 1, 12
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, S, TCFG.d_model))
+
+    full, _ = codec_transformer_forward(params, TCFG, x, jnp.zeros((B,), jnp.int32), rope)
+
+    cache = init_codec_cache(TCFG, B)
+    outs = []
+    pos = jnp.zeros((B,), jnp.int32)
+    for i in range(0, S, 2):
+        h, cache = codec_transformer_forward(
+            params, TCFG, x[:, i : i + 2], pos, rope, cache=cache
+        )
+        pos = pos + 2
+        outs.append(h)
+    streamed = jnp.concatenate(outs, axis=1)
+    np.testing.assert_allclose(np.asarray(streamed), np.asarray(full), rtol=1e-4, atol=1e-5)
+
+
+def test_codec_transformer_sliding_window():
+    """Tokens beyond the context window must not influence the output."""
+    params = init_codec_transformer(jax.random.PRNGKey(0), TCFG)
+    rope = precompute_codec_rope(TCFG, 64)
+    B, S = 1, 12  # context = 8 < 12
+    x = jax.random.normal(jax.random.PRNGKey(1), (B, S, TCFG.d_model))
+    out1, _ = codec_transformer_forward(params, TCFG, x, jnp.zeros((B,), jnp.int32), rope)
+    x2 = x.at[0, 0].set(50.0)  # perturb a token > context away from the end
+    out2, _ = codec_transformer_forward(params, TCFG, x2, jnp.zeros((B,), jnp.int32), rope)
+    np.testing.assert_allclose(
+        np.asarray(out1[0, -1]), np.asarray(out2[0, -1]), rtol=1e-4, atol=1e-5
+    )
+
+
+# ---------------------------------------------------------------------------
+# RVQ
+# ---------------------------------------------------------------------------
+
+
+def test_rvq_codebook_entries_roundtrip():
+    cfg = RVQConfig(dimension=8, input_dim=8, output_dim=8, bins=16, n_q_acoustic=3)
+    params = init_split_rvq(jax.random.PRNGKey(0), cfg)
+    # make projections identity so codebook geometry is directly testable
+    eye = jnp.eye(8)
+    params["semantic"]["input_proj"] = eye
+    params["acoustic"]["input_proj"] = eye
+
+    # latent equal to a semantic codebook entry → stage-0 code must pick it
+    entry = params["semantic"]["codebooks"][0, 3]
+    latent = jnp.tile(entry[None, :, None], (1, 1, 4))  # (B=1, D, F=4)
+    codes = split_rvq_encode(params, cfg, latent, num_codebooks=4)
+    assert codes.shape == (1, 4, 4)
+    np.testing.assert_array_equal(np.asarray(codes[0, 0]), [3, 3, 3, 3])
+
+
+def test_rvq_encode_decode_shapes_and_range():
+    cfg = RVQConfig(dimension=8, input_dim=12, output_dim=12, bins=16, n_q_acoustic=7)
+    params = init_split_rvq(jax.random.PRNGKey(0), cfg)
+    latent = jax.random.normal(jax.random.PRNGKey(1), (2, 12, 5))
+    codes = split_rvq_encode(params, cfg, latent, num_codebooks=8)
+    assert codes.shape == (2, 8, 5)
+    assert (np.asarray(codes) >= 0).all() and (np.asarray(codes) < 16).all()
+    recon = split_rvq_decode(params, cfg, codes)
+    assert recon.shape == (2, 12, 5)
+
+    # residual property: more codebooks → better reconstruction of the
+    # projected latent (on average)
+    codes2 = split_rvq_encode(params, cfg, latent, num_codebooks=2)
+    recon2 = split_rvq_decode(params, cfg, codes2)
+    assert recon2.shape == (2, 12, 5)
+
+
+# ---------------------------------------------------------------------------
+# Mimi end-to-end
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def mimi():
+    cfg = mimi_test_tiny()
+    m = Mimi(cfg)
+    params = m.init(jax.random.PRNGKey(0))
+    return m, params
+
+
+def test_mimi_encode_decode_shapes(mimi):
+    m, params = mimi
+    hop = m.cfg.hop_length
+    F = 6
+    wav = jax.random.normal(jax.random.PRNGKey(1), (1, 1, F * hop)) * 0.1
+    codes = m.encode(params, wav)
+    assert codes.shape == (1, m.cfg.num_codebooks, F)
+    assert (np.asarray(codes) >= 0).all() and (np.asarray(codes) < m.cfg.rvq.bins).all()
+    out = m.decode(params, codes)
+    assert out.shape == (1, 1, F * hop)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_mimi_streaming_decode_matches_offline(mimi):
+    m, params = mimi
+    F = 8
+    codes = jax.random.randint(
+        jax.random.PRNGKey(2), (1, m.cfg.num_codebooks, F), 0, m.cfg.rvq.bins
+    )
+    full = m.decode(params, codes)
+
+    state = m.init_decode_state(1)
+    chunks = []
+    for i in range(F):  # frame-granular
+        wav, state = m.decode_streaming(params, codes[:, :, i : i + 1], state)
+        chunks.append(wav)
+    streamed = jnp.concatenate(chunks, axis=-1)
+    np.testing.assert_allclose(
+        np.asarray(streamed), np.asarray(full), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_mimi_streaming_encode_matches_offline(mimi):
+    m, params = mimi
+    hop = m.cfg.hop_length
+    F = 6
+    wav = jax.random.normal(jax.random.PRNGKey(3), (1, 1, F * hop)) * 0.1
+    full = m.encode(params, wav)
+
+    state = m.init_encode_state(1)
+    outs = []
+    for i in range(0, F, 2):
+        codes, state = m.encode_streaming(
+            params, wav[:, :, i * hop : (i + 2) * hop], state
+        )
+        outs.append(codes)
+    streamed = jnp.concatenate(outs, axis=-1)
+    np.testing.assert_array_equal(np.asarray(streamed), np.asarray(full))

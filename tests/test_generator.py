@@ -1,0 +1,87 @@
+"""End-to-end Generator: text → frames → PCM on the tiny flavor.
+
+This is the integration tier of the test pyramid (SURVEY.md §4c): the
+full pipeline on CPU with random tiny weights — the reference has no
+equivalent (its only smoke test is the warm-up generation,
+tts_service.py:118-119).
+"""
+
+import numpy as np
+import pytest
+import jax
+
+from sesameai_tts_tpu.runtime.frames import Segment
+from sesameai_tts_tpu.runtime.loader import build_generator, test_tiny_spec
+
+
+@pytest.fixture(scope="module")
+def gen():
+    return build_generator(test_tiny_spec(), decode_chunk_frames=4)
+
+
+def test_generate_produces_audio(gen):
+    audio = gen.generate(
+        "hello world this is a test", speaker=1, context=[],
+        max_audio_length_ms=800, temperature=0.8, topk=5,
+    )
+    hop = gen._mimi.cfg.hop_length
+    assert audio.dtype == np.float32
+    assert audio.shape[0] % hop == 0
+    assert 0 < audio.shape[0] <= 10 * hop  # ≤ 800ms/80ms = 10 frames
+    assert np.isfinite(audio).all()
+
+
+def test_stream_matches_offline_frames(gen):
+    """Same PRNG seed ⇒ identical frames; streaming chunks concatenate to
+    the same PCM as the offline Mimi decode (streaming==offline codec)."""
+    gen._key = jax.random.PRNGKey(123)
+    frames = gen.generate_frames(
+        "the quick brown fox", speaker=0, context=[],
+        max_audio_length_ms=640, temperature=0.7, topk=3,
+    )
+    offline = gen.decode_audio(frames)
+
+    gen._key = jax.random.PRNGKey(123)
+    chunks = list(
+        gen.generate_stream(
+            "the quick brown fox", speaker=0, context=[],
+            max_audio_length_ms=640, temperature=0.7, topk=3, chunk_frames=1,
+        )
+    )
+    streamed = np.concatenate(chunks)
+    assert streamed.shape == offline.shape
+    np.testing.assert_allclose(streamed, offline, rtol=1e-4, atol=1e-5)
+
+
+def test_context_segments(gen):
+    hop = gen._mimi.cfg.hop_length
+    ctx = [
+        Segment(speaker=1, text="context line", audio=np.random.default_rng(0)
+                .normal(size=3 * hop).astype(np.float32) * 0.1)
+    ]
+    audio = gen.generate(
+        "with context", speaker=1, context=ctx,
+        max_audio_length_ms=480, temperature=0.8, topk=5,
+    )
+    assert audio.shape[0] % hop == 0
+
+
+def test_pretokenized_context_cache(gen):
+    """Service-layer context caching path: pass (tokens, mask) pairs
+    (the analog of reference tts_service.py:133-138)."""
+    hop = gen._mimi.cfg.hop_length
+    seg = Segment(speaker=1, text="cached", audio=np.zeros(2 * hop, np.float32))
+    pair = gen.frame_tokenizer.segment(seg)
+    audio = gen.generate(
+        "after cache", speaker=1, context=[pair],
+        max_audio_length_ms=480, temperature=0.8, topk=5,
+    )
+    assert audio.shape[0] % hop == 0
+
+
+def test_input_length_guard(gen):
+    """2048-position guard parity (reference generator.py:169-174)."""
+    with pytest.raises(ValueError, match="Inputs too long"):
+        gen.generate(
+            "word " * 3000, speaker=1, context=[], max_audio_length_ms=90_000
+        )

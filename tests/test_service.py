@@ -1,0 +1,132 @@
+"""Service layer: voice registry, cached-context generation, export, CLI.
+
+Covers the reference TTS wrapper surface (reference tts_service.py
+C11-C13) on the tiny flavor with a synthetic voice fixture.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from sesameai_tts_tpu.audio.io import read_wav_mono, write_wav
+from sesameai_tts_tpu.runtime.loader import test_tiny_spec
+from sesameai_tts_tpu.service.tts import TTS
+from sesameai_tts_tpu.service.voices import load_registry
+from sesameai_tts_tpu.utils.text import clean_text_for_tts, split_clean_sentences
+
+
+@pytest.fixture(scope="module")
+def voice_dir(tmp_path_factory):
+    """Synthetic voice: two clips + transcripts (dir convention)."""
+    root = tmp_path_factory.mktemp("voices")
+    vdir = root / "testvoice"
+    vdir.mkdir()
+    rng = np.random.default_rng(0)
+    for i, text in enumerate(["hello there", "a second clip"]):
+        wav = (rng.normal(size=4800) * 0.1).astype(np.float32)
+        write_wav(str(vdir / f"clip{i}.wav"), wav, 24_000)
+        (vdir / f"clip{i}.txt").write_text(text)
+    return str(root)
+
+
+@pytest.fixture(scope="module")
+def tts(voice_dir):
+    engine = TTS(spec=test_tiny_spec(), voices=voice_dir, enable_watermark=False)
+    engine.load_model()
+    engine.load_voice("testvoice", warmup=False)
+    return engine
+
+
+def test_registry_discovery(voice_dir):
+    reg = load_registry(voice_dir)
+    assert "testvoice" in reg
+    assert len(reg["testvoice"]) == 2
+
+
+def test_registry_json(voice_dir, tmp_path):
+    import json
+
+    reg = load_registry(voice_dir)
+    j = tmp_path / "reg.json"
+    j.write_text(json.dumps({"v": {p: t for p, t in reg["testvoice"].items()}}))
+    reg2 = load_registry(str(j))
+    assert "v" in reg2 and len(reg2["v"]) == 2
+
+
+def test_load_voice_caches_context(tts):
+    assert tts.cached_context is not None
+    state, length = tts.cached_context
+    assert length > 0
+    assert int(state.pos[0]) == length
+
+
+def test_generate_with_cached_context(tts):
+    audio = tts.generate_with_context("hi there", max_audio_length_ms=480,
+                                      temperature=0.8, topk=5)
+    assert audio.dtype == np.float32
+    assert len(audio) >= 0  # EOS can hit immediately with random weights
+
+
+def test_cached_context_matches_uncached(tts):
+    """KV-prefix caching must not change results: same seed, cached vs
+    raw-context prompts produce identical frames."""
+    import jax
+
+    gen = tts.generator
+    gen._key = jax.random.PRNGKey(77)
+    f_cached = gen.generate_frames(
+        "check equivalence", 1, [], max_audio_length_ms=480,
+        temperature=1.0, topk=1, cached_context=tts.cached_context,
+    )
+    gen._key = jax.random.PRNGKey(77)
+    f_raw = gen.generate_frames(
+        "check equivalence", 1, tts.cached_segments, max_audio_length_ms=480,
+        temperature=1.0, topk=1,
+    )
+    np.testing.assert_array_equal(f_cached, f_raw)
+
+
+def test_export_wav(tts, tmp_path):
+    out = tmp_path / "out.wav"
+    tts.export_wav("One sentence. Two sentences.", str(out), temperature=0.8, topk=5)
+    assert out.exists()
+    audio, rate = read_wav_mono(str(out))
+    assert rate == 24_000
+    assert len(audio) > 0  # at minimum the silence pads
+
+
+def test_say_collects_clips(tts, tmp_path):
+    clips = tts.say(
+        "Hello world. Second phrase!", output_filename=str(tmp_path / "say.wav"),
+        play=False, temperature=0.8, topk=5,
+    )
+    assert len(clips) == 2
+    assert (tmp_path / "say.wav").exists()
+
+
+def test_clean_text():
+    assert clean_text_for_tts("**bold** and `code` and [link](http://x)") == "bold and and link"
+    # em-dash → "..." which then collapses to "." (reference behavior:
+    # tts_utils.py:23 then the repeat-punctuation normalizer :40)
+    assert clean_text_for_tts("em—dash") == "em. dash"
+    assert clean_text_for_tts("wow!!!") == "wow!"
+
+
+def test_sentence_split():
+    s = split_clean_sentences("First one. Second two! Third three? trailing")
+    assert s == ["First one.", "Second two!", "Third three?", "trailing"]
+
+
+def test_cli_tiny_flavor(tmp_path, voice_dir, monkeypatch):
+    """CLI end-to-end on the tiny flavor (the reference CLI surface,
+    tts_service.py:528-573)."""
+    from sesameai_tts_tpu.service.cli import main
+
+    out = tmp_path / "cli.wav"
+    main([
+        "--flavor", "test-tiny", "--voices", voice_dir, "-v", "testvoice",
+        "--no-watermark", "--temp", "0.8", "--topk", "5",
+        "--output", str(out), "hello from the cli",
+    ])
+    assert out.exists()
