@@ -27,6 +27,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    jax.config.update("jax_compilation_cache_dir", "/root/.cache/jax_tpu")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
     from sesameai_tts_tpu.runtime.loader import build_generator, csm_1b_spec
 
     dev = jax.devices()[0]

@@ -92,14 +92,21 @@ def save_csm_checkpoint(path: str, params: dict) -> None:
     from safetensors.numpy import save_file
 
     sd: Dict[str, np.ndarray] = {}
+    # NOTE: values must be C-contiguous — np.asarray on a JAX array can be
+    # an F-order view (XLA may choose column-major output layouts, and the
+    # persistent compile cache makes that nondeterministic across runs);
+    # safetensors serializes raw bytes assuming C-order, silently
+    # transposing the data otherwise.
 
     def unstack(prefix, trunk, names):
         L = trunk["layers"]["q_proj"].shape[0]
         for i in range(L):
             for ours, theirs, transpose in names:
                 v = np.asarray(trunk["layers"][ours][i], np.float32)
-                sd[f"{prefix}.layers.{i}.{theirs}"] = v.T.copy() if transpose else v
-        sd[f"{prefix}.norm.scale"] = np.asarray(trunk["final_norm"], np.float32)
+                sd[f"{prefix}.layers.{i}.{theirs}"] = (
+                    v.T.copy() if transpose else np.ascontiguousarray(v)
+                )
+        sd[f"{prefix}.norm.scale"] = np.ascontiguousarray(np.asarray(trunk["final_norm"], np.float32))
 
     names = [
         ("q_proj", "attn.q_proj.weight", True),
@@ -114,12 +121,137 @@ def save_csm_checkpoint(path: str, params: dict) -> None:
     ]
     unstack("backbone", params["backbone"], names)
     unstack("decoder", params["decoder"], names)
-    sd["text_embeddings.weight"] = np.asarray(params["text_embeddings"], np.float32)
-    sd["audio_embeddings.weight"] = np.asarray(params["audio_embeddings"], np.float32)
+    sd["text_embeddings.weight"] = np.ascontiguousarray(np.asarray(params["text_embeddings"], np.float32))
+    sd["audio_embeddings.weight"] = np.ascontiguousarray(np.asarray(params["audio_embeddings"], np.float32))
     sd["projection.weight"] = np.asarray(params["projection"], np.float32).T.copy()
     sd["codebook0_head.weight"] = np.asarray(params["codebook0_head"], np.float32).T.copy()
-    sd["audio_head"] = np.asarray(params["audio_head"], np.float32)
+    sd["audio_head"] = np.ascontiguousarray(np.asarray(params["audio_head"], np.float32))
     save_file(sd, path)
+
+
+# ---------------------------------------------------------------------------
+# Mimi (moshi) checkpoint conversion
+# ---------------------------------------------------------------------------
+
+
+def load_mimi_checkpoint(path: str, mimi, dtype=jnp.float32) -> dict:
+    """moshi Mimi state_dict → codec/mimi.py pytree (best-effort mapping;
+    bit-level fidelity against real kyutai weights is pending a weights-
+    available environment — structure/shape mismatches raise loudly).
+
+    Mapping strategy:
+      * SEANet conv stacks: the checkpoint's ``encoder.model.*`` /
+        ``decoder.model.*`` conv weights, ordered by their sequential
+        index, zip 1:1 with our spec traversal order (same topology);
+      * transformers: ``{enc,dec}oder_transformer.layers.N.*`` →
+        layer-stacked pytree (packed qkv transposed to (in, out));
+      * quantizer: ``quantizer.rvq_{first,rest}.*`` input/output 1×1
+        projections + per-stage codebooks.
+    """
+    import re
+
+    sd = _read_state_dict(path)
+
+    def seanet_params(prefix: str, module) -> list:
+        # collect conv/convtr weights in sequential-index order
+        pat = re.compile(rf"{prefix}\.model\.(\d+)\.(.*)")
+        by_idx: Dict[int, Dict[str, np.ndarray]] = {}
+        for k, v in sd.items():
+            m = pat.match(k)
+            if m:
+                by_idx.setdefault(int(m.group(1)), {})[m.group(2)] = v
+        ordered = [by_idx[i] for i in sorted(by_idx)]
+
+        params = []
+        oi = 0
+        for spec in module.specs:
+            if spec[0] in ("conv", "convtr"):
+                entry = ordered[oi]
+                oi += 1
+                w = next(v for k, v in entry.items() if k.endswith("weight"))
+                p = {"w": jnp.asarray(w, dtype)}
+                bias = [v for k, v in entry.items() if k.endswith("bias")]
+                if bias:
+                    p["b"] = jnp.asarray(bias[0], dtype)
+                params.append(p)
+            elif spec[0] == "res":
+                entry = ordered[oi]
+                oi += 1
+                # residual block: block.{j}.conv.conv.{weight,bias}
+                sub = []
+                for j in range(len(spec[1])):
+                    w = next(
+                        v for k, v in entry.items()
+                        if re.match(rf"block\.\d*{2*j+1}?\..*weight", k) or
+                        k == f"block.{2*j+1}.conv.conv.weight"
+                    )
+                    bias = [
+                        v for k, v in entry.items()
+                        if k == f"block.{2*j+1}.conv.conv.bias"
+                    ]
+                    p = {"w": jnp.asarray(w, dtype)}
+                    if bias:
+                        p["b"] = jnp.asarray(bias[0], dtype)
+                    sub.append(p)
+                params.append(sub)
+            else:
+                params.append(None)
+        return params
+
+    def transformer_params(prefix: str) -> dict:
+        L = mimi.cfg.transformer.num_layers
+        def g(i, name):
+            return sd[f"{prefix}.layers.{i}.{name}"]
+
+        layers = {
+            "norm1_w": np.stack([g(i, "norm1.weight") for i in range(L)]),
+            "norm1_b": np.stack([g(i, "norm1.bias") for i in range(L)]),
+            "qkv": np.stack(
+                [g(i, "self_attn.in_proj_weight").T for i in range(L)]
+            ),
+            "out": np.stack(
+                [g(i, "self_attn.out_proj.weight").T for i in range(L)]
+            ),
+            "norm2_w": np.stack([g(i, "norm2.weight") for i in range(L)]),
+            "norm2_b": np.stack([g(i, "norm2.bias") for i in range(L)]),
+            "lin1": np.stack([g(i, "linear1.weight").T for i in range(L)]),
+            "lin2": np.stack([g(i, "linear2.weight").T for i in range(L)]),
+            "ls1": np.stack([g(i, "layer_scale_1.scale") for i in range(L)]),
+            "ls2": np.stack([g(i, "layer_scale_2.scale") for i in range(L)]),
+        }
+        return {"layers": {k: jnp.asarray(v, dtype) for k, v in layers.items()}}
+
+    def rvq_params(prefix: str, n_q: int) -> dict:
+        cbs = np.stack(
+            [
+                sd[f"{prefix}.vq.layers.{i}._codebook.embedding"]
+                if f"{prefix}.vq.layers.{i}._codebook.embedding" in sd
+                else sd[f"{prefix}.vq.layers.{i}._codebook.embedding_sum"]
+                / np.maximum(
+                    sd[f"{prefix}.vq.layers.{i}._codebook.cluster_usage"][:, None], 1e-5
+                )
+                for i in range(n_q)
+            ]
+        )
+        return {
+            "input_proj": jnp.asarray(sd[f"{prefix}.input_proj.weight"][:, :, 0].T, dtype),
+            "output_proj": jnp.asarray(sd[f"{prefix}.output_proj.weight"][:, :, 0].T, dtype),
+            "codebooks": jnp.asarray(cbs, dtype),
+        }
+
+    rvq = mimi.cfg.rvq
+    return {
+        "encoder": seanet_params("encoder", mimi.encoder),
+        "decoder": seanet_params("decoder", mimi.decoder),
+        "encoder_transformer": transformer_params("encoder_transformer.transformer"),
+        "decoder_transformer": transformer_params("decoder_transformer.transformer"),
+        "downsample": {"w": jnp.asarray(sd["downsample.conv.conv.weight"], dtype)},
+        "upsample": {"w": jnp.asarray(sd["upsample.convtr.convtr.weight"], dtype)},
+        "quantizer": {
+            "semantic": rvq_params("quantizer.rvq_first", rvq.n_q_semantic),
+            "acoustic": rvq_params("quantizer.rvq_rest", rvq.n_q_acoustic),
+        },
+    }
 
 
 # ---------------------------------------------------------------------------

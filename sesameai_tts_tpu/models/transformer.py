@@ -233,11 +233,13 @@ def transformer_forward(
 
     H, KV, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
 
+    from sesameai_tts_tpu.ops.quant import qdot
+
     def layer(h, wl, lk, lv):
         hn = rms_norm(h, wl["attn_norm"], cfg.norm_eps)
-        q = (hn @ wl["q_proj"]).reshape(B, S, H, hd)
-        k = (hn @ wl["k_proj"]).reshape(B, S, KV, hd)
-        v = (hn @ wl["v_proj"]).reshape(B, S, KV, hd)
+        q = qdot(hn, wl["q_proj"]).reshape(B, S, H, hd)
+        k = qdot(hn, wl["k_proj"]).reshape(B, S, KV, hd)
+        v = qdot(hn, wl["v_proj"]).reshape(B, S, KV, hd)
         q = apply_rope(q, rope_win)
         k = apply_rope(k, rope_win)
         q = q.transpose(0, 2, 1, 3)  # (B, H, S, hd)
@@ -250,11 +252,11 @@ def transformer_forward(
             attn = _attention(q, lk, lv, mask)
         else:
             attn = _attention(q, k, v, mask)
-        h = h + (attn.transpose(0, 2, 1, 3).reshape(B, S, H * hd) @ wl["o_proj"])
+        h = h + qdot(attn.transpose(0, 2, 1, 3).reshape(B, S, H * hd), wl["o_proj"])
 
         hn = rms_norm(h, wl["mlp_norm"], cfg.norm_eps)
-        gate = jax.nn.silu((hn @ wl["w1"]).astype(jnp.float32)).astype(h.dtype)
-        h = h + ((gate * (hn @ wl["w3"])) @ wl["w2"])
+        gate = jax.nn.silu(qdot(hn, wl["w1"]).astype(jnp.float32)).astype(h.dtype)
+        h = h + qdot(gate * qdot(hn, wl["w3"]), wl["w2"])
         return h, lk, lv
 
     # scan over layers: params (and cache) already stacked on leading L axis

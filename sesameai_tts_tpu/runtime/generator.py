@@ -37,6 +37,7 @@ from sesameai_tts_tpu.codec.mimi import Mimi
 from sesameai_tts_tpu.models import csm as csm_model
 from sesameai_tts_tpu.models.transformer import precompute_rope
 from sesameai_tts_tpu.runtime.frames import FrameTokenizer, Segment
+from sesameai_tts_tpu.utils.profiling import Metrics
 
 MAX_SEQ_LEN = 2048  # backbone positions (reference generator.py:169)
 FRAME_MS = 80.0  # 12.5 Hz (reference generator.py:151)
@@ -82,6 +83,7 @@ class Generator:
         self._key = jax.random.PRNGKey(seed)
         self._rope = precompute_rope(csm_cfg.backbone)
         self._max_seq_len = csm_cfg.backbone.max_seq_len
+        self.metrics = Metrics()  # per-stage timings (utils/profiling.py)
 
         self._tokenizer = FrameTokenizer(
             text_tokenizer, self._encode_audio, csm_cfg.audio_num_codebooks
@@ -237,6 +239,7 @@ class Generator:
         S = tokens.shape[0]
         pos0 = total - S  # 0 uncached; ctx_len with a cached prefix
         bucket = _next_bucket(S, self._prefill_buckets, room=self._max_seq_len - pos0)
+        t_prefill = time.perf_counter()
         tok_pad = np.zeros((1, bucket, K + 1), np.int32)
         msk_pad = np.zeros((1, bucket, K + 1), bool)
         tok_pad[0, :S], msk_pad[0, :S] = tokens, mask
@@ -247,6 +250,8 @@ class Generator:
             jnp.float32(temperature), topk,
         )
         done = jnp.all(frame == 0, axis=-1)
+        jax.block_until_ready(frame)
+        self.metrics.record("prefill_s", time.perf_counter() - t_prefill)
         return frame, state, done, max_gen
 
     # -- generation ---------------------------------------------------------
@@ -377,18 +382,32 @@ class Generator:
             return np.zeros((0, K), np.int32)
         out.append(np.asarray(frame))
 
+        # lag-1 pipelined dispatch: chunk i+1 is queued before chunk i's
+        # results are fetched, so the device never idles on host turnaround
+        # (JAX async dispatch makes the fetch overlap chunk i+1's execution)
         generated = 1
-        while generated < max_gen and not bool(done[0]):
+        pending = None  # (frames, valid, done) device handles
+        while generated < max_gen:
             n = min(self._decode_chunk_frames, max_gen - generated)
             frames, valid, done, state = self._decode(
                 self._params, state, frame, done, self._next_key(), n,
                 jnp.float32(temperature), topk,
             )
             frame = frames[-1]
-            valid_np = np.asarray(valid[:, 0])
-            frames_np = np.asarray(frames[:, 0])
-            out.append(frames_np[valid_np])
             generated += n
+            if pending is not None:
+                p_frames, p_valid, p_done = pending
+                valid_np = np.asarray(p_valid[:, 0])
+                out.append(np.asarray(p_frames[:, 0])[valid_np])
+                if bool(np.asarray(p_done[0])):
+                    pending = None
+                    break
+            pending = (frames, valid, done)
+
+        if pending is not None:
+            p_frames, p_valid, _ = pending
+            valid_np = np.asarray(p_valid[:, 0])
+            out.append(np.asarray(p_frames[:, 0])[valid_np])
 
         return np.concatenate(out)
 

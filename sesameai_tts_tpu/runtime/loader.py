@@ -37,6 +37,7 @@ class ModelSpec:
     mimi_checkpoint: Optional[str] = None
     dtype: jnp.dtype = jnp.bfloat16
     seed: int = 0
+    quantize: Optional[str] = None  # None | 'int8' (weight-only trunks)
 
 
 def csm_1b_spec(
@@ -66,6 +67,11 @@ def build_generator(spec: ModelSpec, **gen_kwargs) -> Generator:
         csm_params = load_csm_checkpoint(spec.csm_checkpoint, spec.csm, spec.dtype)
     else:
         csm_params = init_csm_params(k_csm, spec.csm, spec.dtype)
+
+    if spec.quantize == "int8":
+        from sesameai_tts_tpu.ops.quant import quantize_csm
+
+        csm_params = jax.jit(quantize_csm)(csm_params)
 
     # num_codebooks must agree between model and codec
     assert spec.mimi.num_codebooks == spec.csm.audio_num_codebooks

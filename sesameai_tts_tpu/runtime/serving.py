@@ -1,0 +1,217 @@
+"""Batched multi-session serving: continuous batching over slot-indexed
+KV caches.
+
+The reference serves one request at a time (batch hardcoded 1,
+reference generator.py:47; SURVEY.md §2.3 DP row) — web concurrency is
+just a gradio queue.  This engine decodes B sessions per backbone step
+(BASELINE config 5): a slot pool backed by ONE batched ``CSMState``;
+admissions prefill at B=1 and are scattered into their slot; every
+scheduler tick runs one chunked ``decode_frames`` over all slots (ready
+slots carry ``done``), and each slot's frames stream through its own
+Mimi decode state.
+
+Throughput scales ~linearly with occupied slots until the MXU saturates,
+because the AR decode is weight-bandwidth-bound: the same weight reads
+serve all B sessions.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from dataclasses import dataclass, field
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sesameai_tts_tpu.models import csm as csm_model
+from sesameai_tts_tpu.runtime.generator import FRAME_MS, Generator
+
+
+@dataclass
+class Session:
+    """One TTS request; audio chunks arrive on ``chunks`` (None = end)."""
+
+    text: str
+    speaker: int = 1
+    context: Sequence = ()
+    temperature: float = 0.8
+    topk: int = 40
+    max_audio_length_ms: float = 30_000
+    chunks: "queue.Queue[Optional[np.ndarray]]" = field(default_factory=queue.Queue)
+    frames_out: List[np.ndarray] = field(default_factory=list)
+    error: Optional[Exception] = None
+
+    def audio(self, timeout: Optional[float] = None) -> np.ndarray:
+        """Block until finished; return concatenated PCM."""
+        out = []
+        while True:
+            chunk = self.chunks.get(timeout=timeout)
+            if chunk is None:
+                break
+            out.append(chunk)
+        if self.error is not None:
+            raise self.error
+        return np.concatenate(out) if out else np.zeros((0,), np.float32)
+
+
+class BatchedTTSServer:
+    """Slot-pool scheduler over a Generator's model/codec programs.
+
+    Sampling params are shared across concurrently-decoded slots (the
+    jitted program has one temperature/topk); per-session values apply
+    when a session is alone in flight, otherwise the first admitted
+    session's values win for the batch tick.
+    """
+
+    def __init__(self, generator: Generator, slots: int = 4,
+                 chunk_frames: int = 10):
+        self.gen = generator
+        self.B = slots
+        self.chunk = chunk_frames
+        cfg = generator._cfg
+        dtype = generator._params["projection"].dtype
+        self._state = csm_model.init_state(cfg, slots, dtype)
+        self._prev_frame = jnp.zeros((slots, cfg.audio_num_codebooks), jnp.int32)
+        self._done = jnp.ones((slots,), bool)  # all slots idle (=done)
+        self._budget = np.zeros(slots, np.int64)  # frames left per slot
+        self._sessions: List[Optional[Session]] = [None] * slots
+        self._mimi_states: List = [None] * slots
+        self._pending: "queue.Queue[Session]" = queue.Queue()
+        self._lock = threading.Lock()
+        self._running = False
+        self._thread: Optional[threading.Thread] = None
+        self._build_programs()
+
+    # -- jitted slot ops -----------------------------------------------------
+
+    def _build_programs(self):
+        cfg = self.gen._cfg
+
+        @jax.jit
+        def scatter_slot(batched: csm_model.CSMState, single: csm_model.CSMState,
+                         frame1, done1, prev_frame, done, slot):
+            k = jax.lax.dynamic_update_slice(
+                batched.cache.k, single.cache.k, (0, slot, 0, 0, 0)
+            )
+            v = jax.lax.dynamic_update_slice(
+                batched.cache.v, single.cache.v, (0, slot, 0, 0, 0)
+            )
+            pos = jax.lax.dynamic_update_slice(batched.pos, single.pos, (slot,))
+            prev = jax.lax.dynamic_update_slice(prev_frame, frame1, (slot, 0))
+            dn = jax.lax.dynamic_update_slice(done, done1, (slot,))
+            return csm_model.CSMState(csm_model.KVCache(k, v), pos), prev, dn
+
+        @jax.jit
+        def mark_done(done, slot):
+            return done.at[slot].set(True)
+
+        self._scatter_slot = scatter_slot
+        self._mark_done = mark_done
+
+    # -- public API -----------------------------------------------------------
+
+    def submit(self, text: str, **kw) -> Session:
+        s = Session(text=text, **kw)
+        self._pending.put(s)
+        return s
+
+    def start(self):
+        self._running = True
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    def stop(self):
+        self._running = False
+        if self._thread:
+            self._thread.join(timeout=10)
+
+    # -- scheduler -------------------------------------------------------------
+
+    def _admit(self, slot: int, session: Session):
+        gen = self.gen
+        max_gen = int(session.max_audio_length_ms / FRAME_MS)
+        try:
+            frame, state1, done1, max_gen = gen._prefill_utterance(
+                session.text, session.speaker, list(session.context), None,
+                max_gen, session.temperature, session.topk,
+            )
+        except Exception as e:
+            session.error = e
+            session.chunks.put(None)
+            return
+        self._state, self._prev_frame, self._done = self._scatter_slot(
+            self._state, state1, frame, done1,
+            self._prev_frame, self._done, jnp.int32(slot),
+        )
+        self._sessions[slot] = session
+        self._budget[slot] = max_gen - 1
+        self._mimi_states[slot] = gen._mimi.init_decode_state(1, np.float32)
+        # the prefill frame is the first audio frame (if not EOS)
+        if not bool(np.asarray(done1)[0]):
+            self._emit(slot, np.asarray(frame))
+        if bool(np.asarray(done1)[0]) or self._budget[slot] <= 0:
+            self._finish(slot)
+
+    def _emit(self, slot: int, frames: np.ndarray):
+        """frames: (n, K) — stream-decode through the slot's Mimi state."""
+        session = self._sessions[slot]
+        if session is None or frames.shape[0] == 0:
+            return
+        gen = self.gen
+        codes = jnp.asarray(frames.T[None])  # (1, K, n)
+        wav, self._mimi_states[slot] = gen._mimi_decode_stream(
+            gen._mimi_params, codes, self._mimi_states[slot]
+        )
+        session.frames_out.append(frames)
+        session.chunks.put(np.asarray(wav))
+
+    def _finish(self, slot: int):
+        session = self._sessions[slot]
+        if session is not None:
+            session.chunks.put(None)
+        self._sessions[slot] = None
+        self._mimi_states[slot] = None
+        self._done = self._mark_done(self._done, jnp.int32(slot))
+        self._budget[slot] = 0
+
+    def _loop(self):
+        gen = self.gen
+        while self._running:
+            # admit pending into idle slots
+            done_np = np.asarray(self._done)
+            for slot in range(self.B):
+                if self._sessions[slot] is None and not self._pending.empty():
+                    try:
+                        self._admit(slot, self._pending.get_nowait())
+                    except queue.Empty:
+                        break
+                    done_np = np.asarray(self._done)
+
+            active = [s for s in self._sessions if s is not None]
+            if not active:
+                time.sleep(0.005)
+                continue
+
+            lead = next(s for s in self._sessions if s is not None)
+            n = int(min(self.chunk, max(self._budget.max(), 1)))
+            frames, valid, self._done, self._state = gen._decode(
+                gen._params, self._state, self._prev_frame, self._done,
+                gen._next_key(), n, jnp.float32(lead.temperature), lead.topk,
+            )
+            self._prev_frame = frames[-1]
+            frames_np = np.asarray(frames)  # (n, B, K)
+            valid_np = np.asarray(valid)  # (n, B)
+            done_np = np.asarray(self._done)
+
+            for slot in range(self.B):
+                if self._sessions[slot] is None:
+                    continue
+                vmask = valid_np[:, slot]
+                self._emit(slot, frames_np[:, slot][vmask])
+                self._budget[slot] -= n
+                if done_np[slot] or self._budget[slot] <= 0:
+                    self._finish(slot)
