@@ -56,14 +56,22 @@ def _stack_trunk(
     def n(name, i):
         return sd[f"{prefix}.layers.{i}.{name}.scale"]
 
+    # q/k/v and w1/w3 fuse into single matmuls in our layout
     layers = {
-        "q_proj": np.stack([t("attn.q_proj", i) for i in range(L)]),
-        "k_proj": np.stack([t("attn.k_proj", i) for i in range(L)]),
-        "v_proj": np.stack([t("attn.v_proj", i) for i in range(L)]),
+        "qkv": np.stack(
+            [
+                np.concatenate(
+                    [t("attn.q_proj", i), t("attn.k_proj", i), t("attn.v_proj", i)],
+                    axis=1,
+                )
+                for i in range(L)
+            ]
+        ),
         "o_proj": np.stack([t("attn.output_proj", i) for i in range(L)]),
-        "w1": np.stack([t("mlp.w1", i) for i in range(L)]),
+        "w13": np.stack(
+            [np.concatenate([t("mlp.w1", i), t("mlp.w3", i)], axis=1) for i in range(L)]
+        ),
         "w2": np.stack([t("mlp.w2", i) for i in range(L)]),
-        "w3": np.stack([t("mlp.w3", i) for i in range(L)]),
         "attn_norm": np.stack([n("sa_norm", i) for i in range(L)]),
         "mlp_norm": np.stack([n("mlp_norm", i) for i in range(L)]),
     }
@@ -98,29 +106,42 @@ def save_csm_checkpoint(path: str, params: dict) -> None:
     # safetensors serializes raw bytes assuming C-order, silently
     # transposing the data otherwise.
 
-    def unstack(prefix, trunk, names):
-        L = trunk["layers"]["q_proj"].shape[0]
+    def unstack(prefix, trunk, hd, H, KV, F):
+        lp = trunk["layers"]
+        L = lp["qkv"].shape[0]
         for i in range(L):
-            for ours, theirs, transpose in names:
-                v = np.asarray(trunk["layers"][ours][i], np.float32)
-                sd[f"{prefix}.layers.{i}.{theirs}"] = (
-                    v.T.copy() if transpose else np.ascontiguousarray(v)
-                )
-        sd[f"{prefix}.norm.scale"] = np.ascontiguousarray(np.asarray(trunk["final_norm"], np.float32))
+            qkv = np.asarray(lp["qkv"][i], np.float32)
+            sd[f"{prefix}.layers.{i}.attn.q_proj.weight"] = qkv[:, : H * hd].T.copy()
+            sd[f"{prefix}.layers.{i}.attn.k_proj.weight"] = qkv[
+                :, H * hd : (H + KV) * hd
+            ].T.copy()
+            sd[f"{prefix}.layers.{i}.attn.v_proj.weight"] = qkv[:, (H + KV) * hd :].T.copy()
+            sd[f"{prefix}.layers.{i}.attn.output_proj.weight"] = np.asarray(
+                lp["o_proj"][i], np.float32
+            ).T.copy()
+            w13 = np.asarray(lp["w13"][i], np.float32)
+            sd[f"{prefix}.layers.{i}.mlp.w1.weight"] = w13[:, :F].T.copy()
+            sd[f"{prefix}.layers.{i}.mlp.w3.weight"] = w13[:, F:].T.copy()
+            sd[f"{prefix}.layers.{i}.mlp.w2.weight"] = np.asarray(
+                lp["w2"][i], np.float32
+            ).T.copy()
+            sd[f"{prefix}.layers.{i}.sa_norm.scale"] = np.ascontiguousarray(
+                np.asarray(lp["attn_norm"][i], np.float32)
+            )
+            sd[f"{prefix}.layers.{i}.mlp_norm.scale"] = np.ascontiguousarray(
+                np.asarray(lp["mlp_norm"][i], np.float32)
+            )
+        sd[f"{prefix}.norm.scale"] = np.ascontiguousarray(
+            np.asarray(trunk["final_norm"], np.float32)
+        )
 
-    names = [
-        ("q_proj", "attn.q_proj.weight", True),
-        ("k_proj", "attn.k_proj.weight", True),
-        ("v_proj", "attn.v_proj.weight", True),
-        ("o_proj", "attn.output_proj.weight", True),
-        ("w1", "mlp.w1.weight", True),
-        ("w2", "mlp.w2.weight", True),
-        ("w3", "mlp.w3.weight", True),
-        ("attn_norm", "sa_norm.scale", False),
-        ("mlp_norm", "mlp_norm.scale", False),
-    ]
-    unstack("backbone", params["backbone"], names)
-    unstack("decoder", params["decoder"], names)
+    for prefix, trunk in (("backbone", params["backbone"]), ("decoder", params["decoder"])):
+        F = trunk["layers"]["w2"].shape[1]
+        tot = trunk["layers"]["qkv"].shape[2]
+        h_hd = trunk["layers"]["o_proj"].shape[1]  # H·hd
+        kv_hd = (tot - h_hd) // 2  # KV·hd
+        # pass hd=1 with H·hd / KV·hd — the slices only use the products
+        unstack(prefix, trunk, 1, h_hd, kv_hd, F)
     sd["text_embeddings.weight"] = np.ascontiguousarray(np.asarray(params["text_embeddings"], np.float32))
     sd["audio_embeddings.weight"] = np.ascontiguousarray(np.asarray(params["audio_embeddings"], np.float32))
     sd["projection.weight"] = np.asarray(params["projection"], np.float32).T.copy()

@@ -145,24 +145,26 @@ def _decode_codebooks(
 
     ah = params["audio_head"]  # (K-1, D_dec, V)
     offsets = jnp.arange(K - 1, dtype=jnp.int32) * cfg.audio_vocab_size
-    keys = jax.random.split(key, K - 1)
+    # one batched RNG draw for all codebooks (32 tiny per-step RNG ops
+    # inside the scan cost ~1 ms/frame of pure dispatch overhead)
+    gumbels = jax.random.gumbel(key, (K - 1, B, cfg.audio_vocab_size), jnp.float32)
 
     def scan_body(carry, xs):
         cache, prev_c, pos = carry
-        head, off, k = xs
+        head, off, g = xs
         emb = params["audio_embeddings"][prev_c + off]  # (B, D_backbone)
         x = (emb[:, None, :] @ params["projection"]).astype(dtype)
         h, cache = transformer_forward(
             params["decoder"], dec, x, jnp.full((B,), pos, jnp.int32), cache, rope_cs
         )
         logits = (h[:, 0, :].astype(jnp.float32) @ head.astype(jnp.float32))
-        ci = sample_topk(k, logits, topk, temperature)
+        ci = sample_topk(None, logits, topk, temperature, gumbel=g)
         return (cache, ci, pos + 1), ci
 
     (_, _, _), cs = jax.lax.scan(
         scan_body,
         (dec_cache, c0, jnp.int32(1)),
-        (ah, offsets, keys),
+        (ah, offsets, gumbels),
     )
     return cs.T  # (B, K-1)
 

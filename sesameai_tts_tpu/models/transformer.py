@@ -98,11 +98,16 @@ def apply_rope(x: jnp.ndarray, rope_cs: jnp.ndarray) -> jnp.ndarray:
 def init_transformer_params(
     key: jax.Array, cfg: TransformerConfig, dtype: Optional[jnp.dtype] = None
 ) -> dict:
-    """Random-init params; layer weights stacked along a leading L axis."""
+    """Random-init params; layer weights stacked along a leading L axis.
+
+    q/k/v are fused into one ``qkv`` matmul and w1/w3 into ``w13`` —
+    AR decode is dominated by many small sequential ops, so fewer, larger
+    matmuls beat the torch-style separate projections (converters split/
+    concat at the checkpoint boundary, core/weights.py)."""
     dtype = dtype or cfg.dtype
     L, D, F = cfg.num_layers, cfg.embed_dim, cfg.intermediate_dim
     H, KV, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
-    ks = jax.random.split(key, 7)
+    ks = jax.random.split(key, 4)
 
     def w(k, shape, fan_in):
         return (jax.random.normal(k, shape, jnp.float32) / math.sqrt(fan_in)).astype(dtype)
@@ -110,14 +115,11 @@ def init_transformer_params(
     return {
         "layers": {
             "attn_norm": jnp.ones((L, D), dtype),
-            "q_proj": w(ks[0], (L, D, H * hd), D),
-            "k_proj": w(ks[1], (L, D, KV * hd), D),
-            "v_proj": w(ks[2], (L, D, KV * hd), D),
-            "o_proj": w(ks[3], (L, H * hd, D), H * hd),
+            "qkv": w(ks[0], (L, D, (H + 2 * KV) * hd), D),
+            "o_proj": w(ks[1], (L, H * hd, D), H * hd),
             "mlp_norm": jnp.ones((L, D), dtype),
-            "w1": w(ks[4], (L, D, F), D),
-            "w3": w(ks[5], (L, D, F), D),
-            "w2": w(ks[6], (L, F, D), F),
+            "w13": w(ks[2], (L, D, 2 * F), D),
+            "w2": w(ks[3], (L, F, D), F),
         },
         "final_norm": jnp.ones((D,), dtype),
     }
@@ -235,11 +237,14 @@ def transformer_forward(
 
     from sesameai_tts_tpu.ops.quant import qdot
 
+    F = cfg.intermediate_dim
+
     def layer(h, wl, lk, lv):
         hn = rms_norm(h, wl["attn_norm"], cfg.norm_eps)
-        q = qdot(hn, wl["q_proj"]).reshape(B, S, H, hd)
-        k = qdot(hn, wl["k_proj"]).reshape(B, S, KV, hd)
-        v = qdot(hn, wl["v_proj"]).reshape(B, S, KV, hd)
+        qkv = qdot(hn, wl["qkv"])
+        q = qkv[..., : H * hd].reshape(B, S, H, hd)
+        k = qkv[..., H * hd : (H + KV) * hd].reshape(B, S, KV, hd)
+        v = qkv[..., (H + KV) * hd :].reshape(B, S, KV, hd)
         q = apply_rope(q, rope_win)
         k = apply_rope(k, rope_win)
         q = q.transpose(0, 2, 1, 3)  # (B, H, S, hd)
@@ -255,8 +260,9 @@ def transformer_forward(
         h = h + qdot(attn.transpose(0, 2, 1, 3).reshape(B, S, H * hd), wl["o_proj"])
 
         hn = rms_norm(h, wl["mlp_norm"], cfg.norm_eps)
-        gate = jax.nn.silu(qdot(hn, wl["w1"]).astype(jnp.float32)).astype(h.dtype)
-        h = h + qdot(gate * qdot(hn, wl["w3"]), wl["w2"])
+        w13 = qdot(hn, wl["w13"])
+        gate = jax.nn.silu(w13[..., :F].astype(jnp.float32)).astype(h.dtype)
+        h = h + qdot(gate * w13[..., F:], wl["w2"])
         return h, lk, lv
 
     # scan over layers: params (and cache) already stacked on leading L axis

@@ -22,10 +22,15 @@ def sample_topk(
     logits: jnp.ndarray,  # (..., vocab)
     topk: int,
     temperature: float | jnp.ndarray,
+    gumbel: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
-    """Returns int32 samples with shape ``logits.shape[:-1]``."""
+    """Returns int32 samples with shape ``logits.shape[:-1]``.
+
+    ``gumbel`` may be precomputed (one batched RNG op for a whole frame's
+    32 draws beats 32 small per-step ops inside a scan)."""
     logits = logits.astype(jnp.float32) / temperature
     kth = jax.lax.top_k(logits, topk)[0][..., -1:]
     masked = jnp.where(logits < kth, -jnp.inf, logits)
-    gumbel = jax.random.gumbel(key, logits.shape, jnp.float32)
+    if gumbel is None:
+        gumbel = jax.random.gumbel(key, logits.shape, jnp.float32)
     return jnp.argmax(masked + gumbel, axis=-1).astype(jnp.int32)

@@ -38,13 +38,14 @@ def trunk_param_specs() -> dict:
     return {
         "layers": {
             "attn_norm": P(),
-            "q_proj": P(None, None, "tp"),
-            "k_proj": P(None, None, "tp"),
-            "v_proj": P(None, None, "tp"),
+            # fused qkv/w13 column-shard over 'tp'; the post-matmul q|k|v and
+            # w1|w3 slices cross shard boundaries, so XLA inserts reshards
+            # there under TP — correct, slightly chattier than split weights
+            # (single-chip, the primary serving mode, is unaffected)
+            "qkv": P(None, None, "tp"),
             "o_proj": P(None, "tp", None),
             "mlp_norm": P(),
-            "w1": P(None, None, "tp"),
-            "w3": P(None, None, "tp"),
+            "w13": P(None, None, "tp"),
             "w2": P(None, "tp", None),
         },
         "final_norm": P(),

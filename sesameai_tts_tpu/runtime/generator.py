@@ -113,6 +113,25 @@ class Generator:
                 temperature, topk, rope_cs=self._rope,
             )
 
+        @functools.partial(
+            jax.jit, static_argnames=("num_frames", "topk"), donate_argnames=("state",)
+        )
+        def decode_packed(params, state, prev_frame, done, key, num_frames,
+                          temperature, topk):
+            """decode + results packed into ONE int32 buffer: on
+            remote-attached TPUs every host fetch is a network round trip,
+            so (frames, valid, done) travel together."""
+            frames, valid, done, state = csm_model.decode_frames(
+                params, cfg, state, prev_frame, done, key, num_frames,
+                temperature, topk, rope_cs=self._rope,
+            )
+            packed = jnp.concatenate([
+                frames.reshape(-1),
+                valid.astype(jnp.int32).reshape(-1),
+                done.astype(jnp.int32).reshape(-1),
+            ])
+            return packed, frames[-1], done, state
+
         @jax.jit
         def extend(params, state, tokens, mask, valid_len):
             return csm_model.extend_state(
@@ -135,6 +154,7 @@ class Generator:
         self._prefill = prefill
         self._extend = extend
         self._decode = decode
+        self._decode_packed = decode_packed
         self._mimi_encode = mimi_encode
         self._mimi_decode = mimi_decode
         self._mimi_decode_stream = mimi_decode_stream
@@ -282,28 +302,31 @@ class Generator:
         )
 
         mimi_state = self._mimi.init_decode_state(1, np.float32)
-        pending: List[np.ndarray] = []  # frames awaiting codec decode
-        emitted = 0
 
-        def flush(frames_np: np.ndarray):
+        # frames stay ON DEVICE end-to-end: decode chunk → device slice →
+        # streaming Mimi decode; the host fetches only PCM (the product)
+        # and tiny valid/done flags. On remote-attached TPUs every fetch is
+        # a network round trip — the naive per-frame
+        # fetch→re-upload→fetch cycle costs 3 RTTs per 80 ms frame.
+        def flush(codes_dev):
             nonlocal mimi_state
-            codes = jnp.asarray(frames_np.T[None])  # (1, K, n)
             wav, mimi_state = self._mimi_decode_stream(
-                self._mimi_params, codes, mimi_state
+                self._mimi_params, codes_dev, mimi_state
             )
-            return np.asarray(wav)
+            return wav  # device handle; fetched by the consumer loop
+
+        def emit(wav_dev):
+            chunk = np.asarray(wav_dev)
+            if on_chunk_generated:
+                on_chunk_generated(chunk)
+            return chunk
 
         if bool(done[0]):
             return
 
-        pending.append(np.asarray(frame))
         generated = 1
-        if len(pending) >= chunk_frames:  # first audio = prefill + 1 frame
-            chunk = flush(np.concatenate(pending))
-            pending = []
-            if on_chunk_generated:
-                on_chunk_generated(chunk)
-            yield chunk
+        # first audio: the prefill frame alone (TTFA = prefill + 1 frame)
+        yield emit(flush(frame[:, :, None]))  # (B, K, 1)
 
         while generated < max_gen and not bool(done[0]):
             n = min(self._decode_chunk_frames, max_gen - generated)
@@ -312,24 +335,14 @@ class Generator:
                 jnp.float32(temperature), topk,
             )
             frame = frames[-1]
-            valid_np = np.asarray(valid[:, 0])
-            frames_np = np.asarray(frames[:, 0])  # (n, K)
-            n_valid = int(valid_np.sum())
             generated += n
-            for i in range(n_valid):
-                pending.append(frames_np[i : i + 1])
-                if len(pending) >= chunk_frames:
-                    chunk = flush(np.concatenate(pending))
-                    pending = []
-                    if on_chunk_generated:
-                        on_chunk_generated(chunk)
-                    yield chunk
-
-        if pending:
-            chunk = flush(np.concatenate(pending))
-            if on_chunk_generated:
-                on_chunk_generated(chunk)
-            yield chunk
+            n_valid = int(np.asarray(valid[:, 0]).sum())  # one small fetch
+            # emit groups sliced on device (python slices → fixed shapes,
+            # at most `chunk_frames` distinct compiled group sizes)
+            for start in range(0, n_valid, chunk_frames):
+                g = min(chunk_frames, n_valid - start)
+                codes = frames[start : start + g].transpose(1, 2, 0)  # (B,K,g)
+                yield emit(flush(codes))
 
     def generate(
         self,
@@ -382,34 +395,62 @@ class Generator:
             return np.zeros((0, K), np.int32)
         out.append(np.asarray(frame))
 
-        # lag-1 pipelined dispatch: chunk i+1 is queued before chunk i's
-        # results are fetched, so the device never idles on host turnaround
-        # (JAX async dispatch makes the fetch overlap chunk i+1's execution)
+        # Device→host fetches cost a full round trip on remote-attached TPUs,
+        # so the loop fetches ONLY the lag-1 chunk's tiny `done` flag (hidden
+        # behind the next chunk's execution); frames/valid stay on device and
+        # are bulk-fetched once at the end. Chunk sizes ramp so long
+        # utterances take few dispatches while early-EOS waste stays small.
         generated = 1
-        pending = None  # (frames, valid, done) device handles
+        device_chunks = []  # (packed, n) device handles
+        prev_packed = None
+        schedule = iter(self._chunk_schedule())
         while generated < max_gen:
-            n = min(self._decode_chunk_frames, max_gen - generated)
-            frames, valid, done, state = self._decode(
+            # dispatch only schedule sizes (arbitrary tail sizes would each
+            # compile a fresh program) but never a chunk that overshoots the
+            # remaining budget by more than necessary: take the ramp value,
+            # or the smallest schedule size covering the remainder
+            n = next(schedule)
+            remaining = max_gen - generated
+            if n > remaining:
+                n = self._fit_chunk(remaining)
+            packed, frame, done, state = self._decode_packed(
                 self._params, state, frame, done, self._next_key(), n,
                 jnp.float32(temperature), topk,
             )
-            frame = frames[-1]
             generated += n
-            if pending is not None:
-                p_frames, p_valid, p_done = pending
-                valid_np = np.asarray(p_valid[:, 0])
-                out.append(np.asarray(p_frames[:, 0])[valid_np])
-                if bool(np.asarray(p_done[0])):
-                    pending = None
-                    break
-            pending = (frames, valid, done)
+            device_chunks.append((packed, n))
+            # lag-1 EOS check: the previous chunk's packed buffer is ready
+            # by now (current chunk executes meanwhile); one fetch per chunk
+            if prev_packed is not None and bool(np.asarray(prev_packed)[-1]):
+                break
+            prev_packed = packed
 
-        if pending is not None:
-            p_frames, p_valid, _ = pending
-            valid_np = np.asarray(p_valid[:, 0])
-            out.append(np.asarray(p_frames[:, 0])[valid_np])
-
+        budget = max_gen - 1  # frames allowed after the prefill frame
+        for packed, n in device_chunks:
+            arr = np.asarray(packed)
+            frames_np = arr[: n * K].reshape(n, K)
+            valid_np = arr[n * K : n * K + n].astype(bool)
+            take = min(budget, n)
+            out.append(frames_np[:take][valid_np[:take]])
+            budget -= take
+            if budget <= 0:
+                break
         return np.concatenate(out)
+
+    def _chunk_schedule(self):
+        """Ramped decode-chunk sizes: fast EOS detection early, few
+        dispatch boundaries for long generations."""
+        n = self._decode_chunk_frames
+        while True:
+            yield n
+            n = min(n * 2, 200)
+
+    def _fit_chunk(self, remaining: int) -> int:
+        """Smallest schedule size covering `remaining` (bounded compile set)."""
+        n = self._decode_chunk_frames
+        while n < remaining and n < 200:
+            n *= 2
+        return min(n, 200)
 
     def decode_audio(self, frames: np.ndarray) -> np.ndarray:
         """(F, K) frames → (F*hop,) float PCM via one offline Mimi pass,

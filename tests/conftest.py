@@ -14,6 +14,10 @@ os.environ.setdefault("TOKENIZERS_PARALLELISM", "false")
 
 import jax  # noqa: E402
 
+# Env vars can be too late here (pytest plugins may import jax first);
+# the config route still works because the backend initializes lazily.
+jax.config.update("jax_platforms", "cpu")
+
 # JAX's default matmul precision downcasts to bf16-grade on CPU; numerics
 # tests need exact f32. (Production TPU code opts into bf16 via dtypes.)
 jax.config.update("jax_default_matmul_precision", "highest")

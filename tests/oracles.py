@@ -56,21 +56,27 @@ def build_hf_llama(params, cfg: TransformerConfig):
         )
 
     hd = cfg.head_dim
+    H, KV, F = cfg.num_heads, cfg.num_kv_heads, cfg.intermediate_dim
     lp = params["layers"]
     with torch.no_grad():
         for i, layer in enumerate(model.layers):
+            qkv = np.asarray(lp["qkv"][i], np.float32)  # fused (D, (H+2KV)hd)
+            q_w, k_w, v_w = (
+                qkv[:, : H * hd],
+                qkv[:, H * hd : (H + KV) * hd],
+                qkv[:, (H + KV) * hd :],
+            )
             layer.self_attn.q_proj.weight.copy_(
-                permute(t(lp["q_proj"][i]), cfg.num_heads, cfg.num_heads * hd, cfg.embed_dim)
+                permute(t(q_w), H, H * hd, cfg.embed_dim)
             )
             layer.self_attn.k_proj.weight.copy_(
-                permute(
-                    t(lp["k_proj"][i]), cfg.num_kv_heads, cfg.num_kv_heads * hd, cfg.embed_dim
-                )
+                permute(t(k_w), KV, KV * hd, cfg.embed_dim)
             )
-            layer.self_attn.v_proj.weight.copy_(t(lp["v_proj"][i]))
+            layer.self_attn.v_proj.weight.copy_(t(v_w))
             layer.self_attn.o_proj.weight.copy_(t(lp["o_proj"][i]))
-            layer.mlp.gate_proj.weight.copy_(t(lp["w1"][i]))
-            layer.mlp.up_proj.weight.copy_(t(lp["w3"][i]))
+            w13 = np.asarray(lp["w13"][i], np.float32)
+            layer.mlp.gate_proj.weight.copy_(t(w13[:, :F]))
+            layer.mlp.up_proj.weight.copy_(t(w13[:, F:]))
             layer.mlp.down_proj.weight.copy_(t(lp["w2"][i]))
             layer.input_layernorm.weight.copy_(
                 torch.from_numpy(np.asarray(lp["attn_norm"][i], np.float32).copy())

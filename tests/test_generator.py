@@ -53,6 +53,30 @@ def test_stream_matches_offline_frames(gen):
     np.testing.assert_allclose(streamed, offline, rtol=1e-4, atol=1e-5)
 
 
+def test_stream_grouping_matches_offline(gen):
+    """chunk_frames>1 grouping must not change the PCM (Mimi streaming
+    decode is chunk-boundary invariant)."""
+    import jax
+
+    gen._key = jax.random.PRNGKey(321)
+    frames = gen.generate_frames(
+        "grouped streaming", speaker=0, context=[],
+        max_audio_length_ms=640, temperature=0.7, topk=3,
+    )
+    offline = gen.decode_audio(frames)
+
+    gen._key = jax.random.PRNGKey(321)
+    chunks = list(
+        gen.generate_stream(
+            "grouped streaming", speaker=0, context=[],
+            max_audio_length_ms=640, temperature=0.7, topk=3, chunk_frames=3,
+        )
+    )
+    streamed = np.concatenate(chunks)
+    assert streamed.shape == offline.shape
+    np.testing.assert_allclose(streamed, offline, rtol=1e-4, atol=1e-5)
+
+
 def test_context_segments(gen):
     hop = gen._mimi.cfg.hop_length
     ctx = [

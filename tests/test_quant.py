@@ -40,7 +40,7 @@ def test_quantized_csm_generates():
     K = cfg.audio_num_codebooks
     params = init_csm_params(jax.random.PRNGKey(0), cfg, jnp.float32)
     qparams = quantize_csm(params)
-    assert is_quantized(qparams["backbone"]["layers"]["q_proj"])
+    assert is_quantized(qparams["backbone"]["layers"]["qkv"])
     assert not is_quantized(qparams["audio_head"])
 
     rng = np.random.default_rng(0)
