@@ -80,6 +80,32 @@ def main():
     print(f"first-audio latency p50: {1000*float(np.median(lat)):.0f} ms "
           f"(target < 200 ms)", file=sys.stderr)
 
+    # -- batched serving throughput: B sessions share each weight read -----
+    from sesameai_tts_tpu.models import csm as csm_model_b
+
+    for B in (2, 4):
+        st = csm_model_b.init_state(gen._cfg, B, jnp.bfloat16)
+        f0 = jnp.zeros((B, gen._cfg.audio_num_codebooks), jnp.int32) + 5
+        dn = jnp.zeros((B,), bool)
+        outp = gen._decode(gen._params, st, f0, dn, jax.random.PRNGKey(0), 25,
+                           jnp.float32(0.8), 40)
+        jax.block_until_ready(outp[0])
+        st = outp[3]
+        t0 = time.time()
+        reps = 3
+        for i in range(reps):
+            outp = gen._decode(gen._params, st, f0, dn, jax.random.PRNGKey(i), 25,
+                               jnp.float32(0.8), 40)
+            st = outp[3]
+        jax.block_until_ready(outp[0])
+        per_frame = (time.time() - t0) / reps / 25
+        print(
+            f"batched decode B={B}: {per_frame*1000:.2f} ms/step = "
+            f"{B/per_frame:.0f} frames/s aggregate, per-stream RTF "
+            f"{per_frame/0.08:.4f}",
+            file=sys.stderr,
+        )
+
     # -- gputest parity: generate_frame on a 512-row prefill ---------------
     from sesameai_tts_tpu.models import csm as csm_model
 

@@ -1,0 +1,98 @@
+"""Training stack: CSM loss semantics + optimization progress + sharded
+train step on an 8-device mesh (greenfield capability; SURVEY.md §5
+notes the reference is inference-only)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from sesameai_tts_tpu.core.config import csm_test_tiny
+from sesameai_tts_tpu.models.csm import init_csm_params
+from sesameai_tts_tpu.training.loss import Batch, csm_loss
+from sesameai_tts_tpu.training.train_step import (
+    init_train_state,
+    make_optimizer,
+    make_train_step,
+)
+
+CFG = csm_test_tiny()
+K = CFG.audio_num_codebooks
+
+
+def _batch(B=2, S=16, seed=0):
+    rng = np.random.default_rng(seed)
+    tokens = np.zeros((B, S, K + 1), np.int32)
+    mask = np.zeros((B, S, K + 1), bool)
+    tokens[:, : S // 2, K] = rng.integers(0, CFG.text_vocab_size, (B, S // 2))
+    mask[:, : S // 2, K] = True
+    tokens[:, S // 2 :, :K] = rng.integers(0, CFG.audio_vocab_size, (B, S // 2, K))
+    mask[:, S // 2 :, :K] = True
+    return Batch(
+        tokens=jnp.asarray(tokens),
+        mask=jnp.asarray(mask),
+        loss_mask=jnp.ones((B, S), bool),
+    )
+
+
+def test_loss_finite_and_decomposed():
+    params = init_csm_params(jax.random.PRNGKey(0), CFG, jnp.float32)
+    loss, metrics = csm_loss(params, CFG, _batch(), decoder_frames=2)
+    assert np.isfinite(float(loss))
+    assert float(metrics["c0_loss"]) > 0
+    assert float(metrics["decoder_loss"]) > 0
+    # random init → near-uniform CE ≈ log(vocab)
+    assert abs(float(metrics["c0_loss"]) - np.log(CFG.audio_vocab_size)) < 1.5
+
+
+def test_loss_masks_text_rows():
+    """A batch with NO audio rows has zero-weight losses (not NaN)."""
+    B, S = 1, 8
+    tokens = np.zeros((B, S, K + 1), np.int32)
+    mask = np.zeros((B, S, K + 1), bool)
+    mask[:, :, K] = True  # all text
+    params = init_csm_params(jax.random.PRNGKey(1), CFG, jnp.float32)
+    loss, metrics = csm_loss(
+        params, CFG,
+        Batch(jnp.asarray(tokens), jnp.asarray(mask), jnp.ones((B, S), bool)),
+        decoder_frames=2,
+    )
+    assert np.isfinite(float(loss))
+    assert float(metrics["c0_loss"]) == 0.0
+    assert float(metrics["decoder_loss"]) == 0.0
+
+
+def test_train_step_reduces_loss():
+    params = init_csm_params(jax.random.PRNGKey(2), CFG, jnp.float32)
+    tx = make_optimizer(lr=3e-3, warmup=1)
+    state = init_train_state(params, tx)
+    step = make_train_step(CFG, tx, decoder_frames=2)
+    batch = _batch(seed=3)
+    losses = []
+    for _ in range(8):
+        state, metrics = step(state, batch)
+        losses.append(float(metrics["loss"]))
+    assert int(state.step) == 8
+    assert losses[-1] < losses[0], f"no learning: {losses}"
+    assert all(np.isfinite(l) for l in losses)
+
+
+def test_sharded_train_step_on_mesh():
+    """(dp=4, tp=2) mesh over the 8 virtual CPU devices."""
+    from sesameai_tts_tpu.parallel.mesh import make_mesh
+    from sesameai_tts_tpu.training.train_step import (
+        make_sharded_train_state,
+        shard_batch,
+    )
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    mesh = make_mesh(dp=4, tp=2)
+    tx = make_optimizer()
+    with mesh:
+        state = make_sharded_train_state(jax.random.PRNGKey(0), CFG, mesh, tx)
+        step = make_train_step(CFG, tx, decoder_frames=2)
+        batch = shard_batch(_batch(B=8, seed=4), mesh)
+        state, metrics = step(state, batch)
+        assert np.isfinite(float(metrics["loss"]))
+        assert int(state.step) == 1
