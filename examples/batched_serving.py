@@ -1,0 +1,50 @@
+"""Concurrent-session serving over one chip (BASELINE config 5).
+
+    python examples/batched_serving.py --tiny
+"""
+
+import argparse
+import time
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--tiny", action="store_true")
+    p.add_argument("--model-path", default=None)
+    p.add_argument("--tokenizer", default="byte")
+    p.add_argument("--slots", type=int, default=4)
+    args = p.parse_args()
+
+    from sesameai_tts_tpu.runtime.loader import build_generator, csm_1b_spec, test_tiny_spec
+    from sesameai_tts_tpu.runtime.serving import BatchedTTSServer
+
+    spec = test_tiny_spec() if args.tiny else csm_1b_spec(
+        args.model_path, tokenizer=args.tokenizer
+    )
+    gen = build_generator(spec)
+    server = BatchedTTSServer(gen, slots=args.slots, chunk_frames=10)
+    server.start()
+
+    texts = [
+        "First concurrent request speaking now.",
+        "Second request in parallel on the same chip.",
+        "Third one shares the same weight reads.",
+        "Fourth rides the batch too.",
+        "A fifth queues until a slot frees.",
+    ]
+    t0 = time.time()
+    sessions = [server.submit(t, max_audio_length_ms=5_000, temperature=0.8, topk=40)
+                for t in texts]
+    total_audio = 0.0
+    for i, s in enumerate(sessions):
+        audio = s.audio(timeout=600)
+        total_audio += len(audio) / gen.sample_rate
+        print(f"session {i}: {len(audio)/gen.sample_rate:.2f}s audio")
+    wall = time.time() - t0
+    print(f"{total_audio:.1f}s audio across {len(texts)} sessions in {wall:.1f}s "
+          f"wall ({total_audio/wall:.1f}x realtime aggregate)")
+    server.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -198,14 +198,16 @@ class BatchedTTSServer:
 
             lead = next(s for s in self._sessions if s is not None)
             n = int(min(self.chunk, max(self._budget.max(), 1)))
-            frames, valid, self._done, self._state = gen._decode(
+            packed, self._prev_frame, self._done, self._state = gen._decode_packed(
                 gen._params, self._state, self._prev_frame, self._done,
                 gen._next_key(), n, jnp.float32(lead.temperature), lead.topk,
             )
-            self._prev_frame = frames[-1]
-            frames_np = np.asarray(frames)  # (n, B, K)
-            valid_np = np.asarray(valid)  # (n, B)
-            done_np = np.asarray(self._done)
+            # one fetch per tick (remote-TPU round trips are ~40 ms)
+            B, K = self.B, gen._cfg.audio_num_codebooks
+            arr = np.asarray(packed)
+            frames_np = arr[: n * B * K].reshape(n, B, K)
+            valid_np = arr[n * B * K : n * B * K + n * B].reshape(n, B).astype(bool)
+            done_np = arr[-B:].astype(bool)
 
             for slot in range(self.B):
                 if self._sessions[slot] is None:
