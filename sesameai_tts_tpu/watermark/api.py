@@ -28,8 +28,15 @@ def watermark(
     audio: np.ndarray,
     sample_rate: int,
     watermark_key: List[int],
-    message_sdr: float = 36.0,
+    message_sdr: float = 30.0,
 ) -> Tuple[np.ndarray, int]:
+    """Embed → resample like the reference (watermarking.py:28-40).
+
+    Default strength is 30 dB message-SDR (the reference's learned
+    silentcipher runs at 36 dB; this framework's DSP watermark needs
+    ~6 dB more energy for reliable verification across signals —
+    measured verify-confidence 6.5-8 at 30 dB vs a threshold of 4,
+    robust to gain changes, 16-bit quantization and trimming)."""
     audio_44k = resample(audio, sample_rate, WATERMARK_RATE)
     encoded, _ = watermarker.encode_wav(
         audio_44k, WATERMARK_RATE, watermark_key, calc_sdr=False, message_sdr=message_sdr
