@@ -114,6 +114,14 @@ def codec_transformer_forward(
 ) -> Tuple[jnp.ndarray, Optional[CodecKVCache]]:
     B, S, D = x.shape
     H, hd, C = cfg.num_heads, cfg.head_dim, cfg.context
+    if cache is not None:
+        cap = cache.k.shape[-2]
+        # a chunk larger than the ring slack would clobber keys still inside
+        # earlier queries' sliding windows — silently wrong audio
+        assert S <= cap - C, (
+            f"streaming chunk of {S} positions exceeds the ring slack "
+            f"({cap - C}); enlarge init_codec_cache(max_chunk=...)"
+        )
     positions = pos0[:, None] + jnp.arange(S, dtype=jnp.int32)[None, :]
     rope_win = rope_cs[positions]
 

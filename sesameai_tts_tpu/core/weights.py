@@ -198,21 +198,15 @@ def load_mimi_checkpoint(path: str, mimi, dtype=jnp.float32) -> dict:
             elif spec[0] == "res":
                 entry = ordered[oi]
                 oi += 1
-                # residual block: block.{j}.conv.conv.{weight,bias}
+                # residual block layout [ELU, conv, ELU, conv] → conv weights
+                # live at sequential indices 1 and 3 (raise loudly if absent)
                 sub = []
                 for j in range(len(spec[1])):
-                    w = next(
-                        v for k, v in entry.items()
-                        if re.match(rf"block\.\d*{2*j+1}?\..*weight", k) or
-                        k == f"block.{2*j+1}.conv.conv.weight"
-                    )
-                    bias = [
-                        v for k, v in entry.items()
-                        if k == f"block.{2*j+1}.conv.conv.bias"
-                    ]
+                    w = entry[f"block.{2*j+1}.conv.conv.weight"]
                     p = {"w": jnp.asarray(w, dtype)}
-                    if bias:
-                        p["b"] = jnp.asarray(bias[0], dtype)
+                    bias_key = f"block.{2*j+1}.conv.conv.bias"
+                    if bias_key in entry:
+                        p["b"] = jnp.asarray(entry[bias_key], dtype)
                     sub.append(p)
                 params.append(sub)
             else:

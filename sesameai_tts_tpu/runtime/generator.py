@@ -324,25 +324,29 @@ class Generator:
         if bool(done[0]):
             return
 
-        generated = 1
+        emitted = 1
         # first audio: the prefill frame alone (TTFA = prefill + 1 frame)
         yield emit(flush(frame[:, :, None]))  # (B, K, 1)
 
-        while generated < max_gen and not bool(done[0]):
-            n = min(self._decode_chunk_frames, max_gen - generated)
+        while emitted < max_gen and not bool(done[0]):
+            # fixed chunk size: an arbitrary tail size would compile a fresh
+            # program mid-stream (minutes on a remote compile service);
+            # overshoot frames are simply not emitted
+            n = self._decode_chunk_frames
             frames, valid, done, state = self._decode(
                 self._params, state, frame, done, self._next_key(), n,
                 jnp.float32(temperature), topk,
             )
             frame = frames[-1]
-            generated += n
             n_valid = int(np.asarray(valid[:, 0]).sum())  # one small fetch
+            n_take = min(n_valid, max_gen - emitted)
             # emit groups sliced on device (python slices → fixed shapes,
             # at most `chunk_frames` distinct compiled group sizes)
-            for start in range(0, n_valid, chunk_frames):
-                g = min(chunk_frames, n_valid - start)
+            for start in range(0, n_take, chunk_frames):
+                g = min(chunk_frames, n_take - start)
                 codes = frames[start : start + g].transpose(1, 2, 0)  # (B,K,g)
                 yield emit(flush(codes))
+            emitted += n_take
 
     def generate(
         self,

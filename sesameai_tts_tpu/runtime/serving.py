@@ -65,6 +65,10 @@ class BatchedTTSServer:
     jitted program has one temperature/topk); per-session values apply
     when a session is alone in flight, otherwise the first admitted
     session's values win for the batch tick.
+
+    Known limitation: admission prefill runs synchronously inside the
+    scheduler loop, pausing in-flight decode for ~the prefill latency on
+    every new session (round-2: overlap admissions on a side queue).
     """
 
     def __init__(self, generator: Generator, slots: int = 4,
@@ -212,8 +216,13 @@ class BatchedTTSServer:
             for slot in range(self.B):
                 if self._sessions[slot] is None:
                     continue
-                vmask = valid_np[:, slot]
-                self._emit(slot, frames_np[:, slot][vmask])
+                # clip to the session's own frame budget: the tick size is
+                # driven by the longest-budget session, and frames computed
+                # past a slot's budget (or past its KV room) must not reach
+                # the listener
+                take = int(min(self._budget[slot], n))
+                vmask = valid_np[:take, slot]
+                self._emit(slot, frames_np[:take, slot][vmask])
                 self._budget[slot] -= n
                 if done_np[slot] or self._budget[slot] <= 0:
                     self._finish(slot)

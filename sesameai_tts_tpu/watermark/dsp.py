@@ -287,6 +287,12 @@ class Watermarker:
         }
 
 
-def load_watermarker(detection_threshold: float = 5.0) -> Watermarker:
-    """Parity constructor (reference watermarking.py:20-25)."""
-    return Watermarker(detection_threshold)
+def load_watermarker(verify_threshold: float = None, blind_threshold: float = None) -> Watermarker:
+    """Parity constructor (reference watermarking.py:20-25). Defaults
+    come from the Watermarker class (calibrated: verify 4.0, blind 3.6)."""
+    kw = {}
+    if verify_threshold is not None:
+        kw["verify_threshold"] = verify_threshold
+    if blind_threshold is not None:
+        kw["blind_threshold"] = blind_threshold
+    return Watermarker(**kw)
