@@ -104,6 +104,18 @@ class HFTokenizer:
         return self._tok.decode(ids, skip_special_tokens=True)
 
 
+def load_llama3_tokenizer(path: str) -> "HFTokenizer":
+    """Name-compatible loader (reference generator.py:24-38): the
+    Llama-3.2 tokenizer with BOS…EOS wrapping, from a LOCAL
+    tokenizer.json/model dir instead of the HF hub."""
+    try:
+        from sesameai_tts_tpu.tokenizer.native_bpe import NativeBPETokenizer
+
+        return NativeBPETokenizer(path)
+    except Exception:
+        return HFTokenizer(path)
+
+
 def load_text_tokenizer(spec: str) -> TextTokenizer:
     """spec: 'byte', 'tiny', a tokenizer.json path, or a model dir."""
     if spec == "byte":

@@ -31,6 +31,38 @@ def clean_text_for_tts(text) -> str:
     return text.strip()
 
 
+def generate_tts_audio(text: str, tts_instance, temperature: float = 0.7,
+                       top_k=None) -> "str | None":
+    """Clean text, synthesize, save to a temp WAV, return the path
+    (reference utils/tts_utils.py:47-107). Returns None on empty text or
+    failure."""
+    import logging
+    import os
+    import tempfile
+
+    log = logging.getLogger(__name__)
+    cleaned = clean_text_for_tts(text)
+    if not cleaned:
+        log.warning("Skipping TTS generation for empty or invalid text.")
+        return None
+    try:
+        kwargs = {"temperature": temperature, "fade_duration": 50,
+                  "start_silence_duration": 100, "end_silence_duration": 100}
+        if top_k is not None:
+            kwargs["topk"] = top_k
+        clip = tts_instance.generate_audio_segment(cleaned, **kwargs)
+        if clip is None or len(clip.samples) == 0:
+            log.error("TTS generated empty audio segment.")
+            return None
+        fd, path = tempfile.mkstemp(suffix=".wav")
+        os.close(fd)
+        clip.export(path)
+        return path
+    except Exception:
+        log.exception("Error during TTS generation process")
+        return None
+
+
 def split_sentences(text: str) -> List[str]:
     """Sentence split on terminal punctuation (reference
     tts_service.py:339 regex ``(?<=[.!?])\\s+``)."""

@@ -130,3 +130,17 @@ def test_cli_tiny_flavor(tmp_path, voice_dir, monkeypatch):
         "--output", str(out), "hello from the cli",
     ])
     assert out.exists()
+
+
+def test_generate_tts_audio_helper(tts, tmp_path):
+    """Temp-WAV helper parity (reference utils/tts_utils.py:47-107)."""
+    import os
+
+    from sesameai_tts_tpu.utils.text import generate_tts_audio
+
+    path = generate_tts_audio("One short sentence.", tts, temperature=0.8, top_k=5)
+    assert path is not None and os.path.exists(path)
+    audio, rate = read_wav_mono(path)
+    assert rate == 24_000 and len(audio) > 0
+    os.remove(path)
+    assert generate_tts_audio("", tts) is None  # empty text → None
