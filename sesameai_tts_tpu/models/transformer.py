@@ -161,12 +161,23 @@ def rms_norm(x: jnp.ndarray, scale: jnp.ndarray, eps: float) -> jnp.ndarray:
 def _update_cache(
     cache_k: jnp.ndarray, new_k: jnp.ndarray, pos0: jnp.ndarray
 ) -> jnp.ndarray:
-    """Write (B, KV, S, hd) into (B, KV, T, hd) at per-batch offset pos0."""
+    """Write (B, KV, S, hd) into (B, KV, T, hd) at per-batch offset pos0.
 
-    def one(c, n, p):
-        return jax.lax.dynamic_update_slice(c, n, (0, p, 0))
-
-    return jax.vmap(one)(cache_k, new_k, pos0)
+    B=1 (the single-stream hot path) uses a plain dynamic_update_slice —
+    a vmapped DUS can defeat XLA's in-place buffer analysis inside the
+    frame-decode loop."""
+    B = cache_k.shape[0]
+    if B == 1:
+        return jax.lax.dynamic_update_slice(
+            cache_k, new_k, (jnp.int32(0), jnp.int32(0), pos0[0], jnp.int32(0))
+        )
+    # chained per-slot updates keep the buffer update-in-place for small B
+    # (serving slot pools); a vmapped DUS forces whole-buffer copies
+    for b in range(B):
+        cache_k = jax.lax.dynamic_update_slice(
+            cache_k, new_k[b : b + 1], (jnp.int32(b), jnp.int32(0), pos0[b], jnp.int32(0))
+        )
+    return cache_k
 
 
 def _attention(
