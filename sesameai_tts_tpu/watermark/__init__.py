@@ -1,4 +1,5 @@
 from sesameai_tts_tpu.watermark.api import (
+    CSM_1B_GH_WATERMARK,
     CSM_1B_WATERMARK,
     load_watermarker,
     watermark,

@@ -16,6 +16,7 @@ import numpy as np
 from sesameai_tts_tpu.audio.io import read_wav_mono
 from sesameai_tts_tpu.audio.resample import resample
 from sesameai_tts_tpu.watermark.dsp import (
+    CSM_1B_GH_WATERMARK,
     CSM_1B_WATERMARK,
     WATERMARK_RATE,
     Watermarker,

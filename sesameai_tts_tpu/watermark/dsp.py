@@ -42,6 +42,7 @@ import numpy as np
 
 # Public CSM watermark key (reference watermarking.py:7-9 — public, not secret)
 CSM_1B_WATERMARK = [212, 211, 146, 56, 201]
+CSM_1B_GH_WATERMARK = CSM_1B_WATERMARK  # reference's exact constant name
 
 WATERMARK_RATE = 44_100
 N_FFT = 2048
