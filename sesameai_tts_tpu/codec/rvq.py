@@ -97,9 +97,8 @@ def split_rvq_encode(params: dict, cfg: RVQConfig, latent: jnp.ndarray, num_code
     """
     x = latent.transpose(0, 2, 1)  # (B, F, D)
     sem = _rvq_encode(params["semantic"], x, cfg.n_q_semantic)
-    n_ac = num_codebooks - cfg.n_q_semantic
-    ac = _rvq_encode(params["acoustic"], x, n_ac)
-    return jnp.concatenate([sem, ac[:, :n_ac]], axis=1)
+    ac = _rvq_encode(params["acoustic"], x, num_codebooks - cfg.n_q_semantic)
+    return jnp.concatenate([sem, ac], axis=1)
 
 
 def split_rvq_decode(params: dict, cfg: RVQConfig, codes: jnp.ndarray) -> jnp.ndarray:

@@ -49,6 +49,12 @@ class RollingContext:
     # -- prefix (voice prompt) ---------------------------------------------
 
     def pin_prefix(self, pairs: Sequence[TokenPair]) -> None:
+        rows = sum(_rows(p) for p in pairs)
+        if rows > self.budget:
+            raise ValueError(
+                f"Pinned voice prefix ({rows} rows) alone exceeds the "
+                f"context budget ({self.budget}); shorten the voice prompt"
+            )
         self._prefix = list(pairs)
 
     @property

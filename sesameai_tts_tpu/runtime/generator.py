@@ -324,27 +324,34 @@ class Generator:
         if bool(done[0]):
             return
 
+        K = self._cfg.audio_num_codebooks
         emitted = 1
         # first audio: the prefill frame alone (TTFA = prefill + 1 frame)
         yield emit(flush(frame[:, :, None]))  # (B, K, 1)
 
-        while emitted < max_gen and not bool(done[0]):
+        done_host = False
+        while emitted < max_gen and not done_host:
             # fixed chunk size: an arbitrary tail size would compile a fresh
             # program mid-stream (minutes on a remote compile service);
             # overshoot frames are simply not emitted
             n = self._decode_chunk_frames
-            frames, valid, done, state = self._decode(
+            packed, frame, done, state = self._decode_packed(
                 self._params, state, frame, done, self._next_key(), n,
                 jnp.float32(temperature), topk,
             )
-            frame = frames[-1]
-            n_valid = int(np.asarray(valid[:, 0]).sum())  # one small fetch
+            # ONE host fetch per chunk gives frames+valid+done together;
+            # codec input slices come from the device-resident packed buffer
+            arr = np.asarray(packed)
+            valid_np = arr[n * K : n * K + n].astype(bool)
+            done_host = bool(arr[-1])
+            n_valid = int(valid_np.sum())
             n_take = min(n_valid, max_gen - emitted)
+            frames_dev = packed[: n * K].reshape(n, 1, K)
             # emit groups sliced on device (python slices → fixed shapes,
             # at most `chunk_frames` distinct compiled group sizes)
             for start in range(0, n_take, chunk_frames):
                 g = min(chunk_frames, n_take - start)
-                codes = frames[start : start + g].transpose(1, 2, 0)  # (B,K,g)
+                codes = frames_dev[start : start + g].transpose(1, 2, 0)  # (B,K,g)
                 yield emit(flush(codes))
             emitted += n_take
 

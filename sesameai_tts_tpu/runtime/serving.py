@@ -17,6 +17,7 @@ serve all B sessions.
 
 from __future__ import annotations
 
+import functools
 import queue
 import threading
 import time
@@ -95,7 +96,7 @@ class BatchedTTSServer:
     def _build_programs(self):
         cfg = self.gen._cfg
 
-        @jax.jit
+        @functools.partial(jax.jit, donate_argnums=(0,))
         def scatter_slot(batched: csm_model.CSMState, single: csm_model.CSMState,
                          frame1, done1, prev_frame, done, slot):
             k = jax.lax.dynamic_update_slice(
@@ -154,14 +155,19 @@ class BatchedTTSServer:
         self._sessions[slot] = session
         self._budget[slot] = max_gen - 1
         self._mimi_states[slot] = gen._mimi.init_decode_state(1, np.float32)
+        done1_np = bool(np.asarray(done1)[0])  # single host fetch
         # the prefill frame is the first audio frame (if not EOS)
-        if not bool(np.asarray(done1)[0]):
+        if not done1_np:
             self._emit(slot, np.asarray(frame))
-        if bool(np.asarray(done1)[0]) or self._budget[slot] <= 0:
+        if done1_np or self._budget[slot] <= 0:
             self._finish(slot)
 
     def _emit(self, slot: int, frames: np.ndarray):
-        """frames: (n, K) — stream-decode through the slot's Mimi state."""
+        """frames: (n, K) — stream-decode through the slot's Mimi state.
+
+        Mimi decode compiles once per distinct frame count; counts are
+        bounded by chunk_frames (+1 for the admit path), so at most
+        ~chunk_frames programs, all cached after warm-up."""
         session = self._sessions[slot]
         if session is None or frames.shape[0] == 0:
             return
@@ -185,20 +191,39 @@ class BatchedTTSServer:
     def _loop(self):
         gen = self.gen
         while self._running:
+            try:
+                self._tick(gen)
+            except Exception as e:  # never die silently: unblock all sessions
+                for slot in range(self.B):
+                    s = self._sessions[slot]
+                    if s is not None:
+                        s.error = e
+                        self._finish(slot)
+                while not self._pending.empty():
+                    try:
+                        s = self._pending.get_nowait()
+                        s.error = e
+                        s.chunks.put(None)
+                    except queue.Empty:
+                        break
+                import logging
+
+                logging.getLogger(__name__).exception("serving tick failed")
+                time.sleep(0.1)
+
+    def _tick(self, gen):
             # admit pending into idle slots
-            done_np = np.asarray(self._done)
             for slot in range(self.B):
                 if self._sessions[slot] is None and not self._pending.empty():
                     try:
                         self._admit(slot, self._pending.get_nowait())
                     except queue.Empty:
                         break
-                    done_np = np.asarray(self._done)
 
             active = [s for s in self._sessions if s is not None]
             if not active:
                 time.sleep(0.005)
-                continue
+                return
 
             lead = next(s for s in self._sessions if s is not None)
             n = int(min(self.chunk, max(self._budget.max(), 1)))
