@@ -84,20 +84,21 @@ def main():
     from sesameai_tts_tpu.models import csm as csm_model_b
 
     for B in (2, 4):
-        st = csm_model_b.init_state(gen._cfg, B, jnp.bfloat16)
+        st = csm_model_b.init_state(gen._cfg, B, jnp.bfloat16,
+                                    unstacked=gen._unrolled)
         f0 = jnp.zeros((B, gen._cfg.audio_num_codebooks), jnp.int32) + 5
         dn = jnp.zeros((B,), bool)
         outp = gen._decode(gen._params, st, f0, dn, jax.random.PRNGKey(0), 25,
                            jnp.float32(0.8), 40)
-        jax.block_until_ready(outp[0])
-        st = outp[3]
+        _ = np.asarray(outp[0][-1])  # host fetch: block_until_ready does not
+        st = outp[3]                 # reliably sync on this remote platform
         t0 = time.time()
         reps = 3
         for i in range(reps):
             outp = gen._decode(gen._params, st, f0, dn, jax.random.PRNGKey(i), 25,
                                jnp.float32(0.8), 40)
             st = outp[3]
-        jax.block_until_ready(outp[0])
+        _ = np.asarray(outp[0][-1])
         per_frame = (time.time() - t0) / reps / 25
         print(
             f"batched decode B={B}: {per_frame*1000:.2f} ms/step = "
@@ -113,18 +114,18 @@ def main():
     K = cfg.audio_num_codebooks
     tokens = jnp.zeros((1, 512, K + 1), jnp.int32)
     mask = jnp.zeros((1, 512, K + 1), bool).at[:, :, K].set(True)
-    state0 = csm_model.init_state(cfg, 1, jnp.bfloat16)
+    state0 = csm_model.init_state(cfg, 1, jnp.bfloat16, unstacked=gen._unrolled)
     frame, _ = gen._prefill(gen._params, state0, tokens, mask,
                             jnp.array([512], jnp.int32), jax.random.PRNGKey(0),
                             jnp.float32(0.8), 40)
-    jax.block_until_ready(frame)
+    _ = np.asarray(frame[0, 0])
     t0 = time.time()
     iters = 10
     for _ in range(iters):
         frame, _ = gen._prefill(gen._params, state0, tokens, mask,
                                 jnp.array([512], jnp.int32), jax.random.PRNGKey(0),
                                 jnp.float32(0.8), 40)
-    jax.block_until_ready(frame)
+    _ = np.asarray(frame[0, 0])
     per = (time.time() - t0) / iters
     print(f"generate_frame(512-prefill): {per*1000:.1f} ms ({1/per:.1f} it/s)",
           file=sys.stderr)

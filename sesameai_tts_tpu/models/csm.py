@@ -33,8 +33,10 @@ from sesameai_tts_tpu.models.transformer import (
     KVCache,
     init_kv_cache,
     init_transformer_params,
+    is_unstacked,
     precompute_rope,
     transformer_forward,
+    unstack_trunk_params,
 )
 from sesameai_tts_tpu.ops.sampling import sample_topk
 
@@ -82,12 +84,28 @@ class CSMState(NamedTuple):
     pos: jnp.ndarray  # (B,) int32 — next position to write
 
 
-def init_state(cfg: CSMConfig, batch_size: int, dtype=None) -> CSMState:
+def init_state(
+    cfg: CSMConfig, batch_size: int, dtype=None, unstacked: bool = False
+) -> CSMState:
     bb = cfg.backbone
     return CSMState(
-        cache=init_kv_cache(bb, batch_size, dtype or bb.dtype),
+        cache=init_kv_cache(bb, batch_size, dtype or bb.dtype, unstacked=unstacked),
         pos=jnp.zeros((batch_size,), jnp.int32),
     )
+
+
+def unstack_csm_params(params: dict) -> dict:
+    """Per-layer (unstacked) trunk weights for the unrolled decode path.
+
+    The canonical checkpoint/training layout stacks layer weights on a
+    leading L axis for ``lax.scan``; the decode path unrolls layers and
+    codebook steps instead, and per-layer buffers let XLA (a) skip the
+    per-iteration stacked-array slices that show up as full-weight copies
+    and (b) keep the decoder trunk (re-read 31×/frame) VMEM-resident."""
+    out = dict(params)
+    out["backbone"] = unstack_trunk_params(params["backbone"])
+    out["decoder"] = unstack_trunk_params(params["decoder"])
+    return out
 
 
 def embed_frames(params: dict, cfg: CSMConfig, tokens: jnp.ndarray, tokens_mask: jnp.ndarray) -> jnp.ndarray:
@@ -129,8 +147,9 @@ def _decode_codebooks(
     K = cfg.audio_num_codebooks
     B = last_h.shape[0]
     dtype = params["projection"].dtype
+    unrolled = is_unstacked(params["decoder"])
 
-    dec_cache = init_kv_cache(dec, B, dtype, max_seq_len=K)
+    dec_cache = init_kv_cache(dec, B, dtype, max_seq_len=K, unstacked=unrolled)
     rope_cs = precompute_rope(dec)
 
     def dec_step(cache, x, pos):
@@ -148,6 +167,23 @@ def _decode_codebooks(
     # one batched RNG draw for all codebooks (32 tiny per-step RNG ops
     # inside the scan cost ~1 ms/frame of pure dispatch overhead)
     gumbels = jax.random.gumbel(key, (K - 1, B, cfg.audio_vocab_size), jnp.float32)
+
+    if unrolled:
+        # fully unrolled micro-loop: the decoder trunk weights (per-layer
+        # buffers) are re-read by all K-1 steps inside one program, which
+        # lets XLA keep them on-chip between steps — the decode-path win
+        # that scan's per-iteration weight re-fetch cannot express
+        cache, prev_c = dec_cache, c0
+        cs_list = []
+        for i in range(K - 1):
+            emb = params["audio_embeddings"][prev_c + offsets[i]]
+            x = (emb[:, None, :] @ params["projection"]).astype(dtype)
+            h, cache = dec_step(cache, x, i + 1)
+            logits = h.astype(jnp.float32) @ ah[i].astype(jnp.float32)
+            ci = sample_topk(None, logits, topk, temperature, gumbel=gumbels[i])
+            cs_list.append(ci)
+            prev_c = ci
+        return jnp.stack(cs_list, axis=1)  # (B, K-1)
 
     def scan_body(carry, xs):
         cache, prev_c, pos = carry

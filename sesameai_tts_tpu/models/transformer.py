@@ -126,7 +126,14 @@ def init_transformer_params(
 
 
 class KVCache(NamedTuple):
-    """Static per-layer KV buffers: (L, B, n_kv, max_seq, head_dim)."""
+    """Static per-layer KV buffers.
+
+    Stacked layout (training / scan path): arrays (L, B, n_kv, max_seq,
+    head_dim).  Unstacked layout (the unrolled decode path): tuples of L
+    per-layer (B, n_kv, max_seq, head_dim) arrays — matching unstacked
+    params so no per-iteration slices of big stacked buffers appear
+    inside the decode program (XLA materializes those as copies, which
+    round 1 measured eating the whole int8 bandwidth win)."""
 
     k: jnp.ndarray
     v: jnp.ndarray
@@ -137,14 +144,41 @@ def init_kv_cache(
     batch_size: int,
     dtype: Optional[jnp.dtype] = None,
     max_seq_len: Optional[int] = None,
+    unstacked: bool = False,
 ) -> KVCache:
     """Equivalent of torchtune ``setup_caches`` (reference models.py:120-130),
     but the cache is a value, not module state — callers thread it through
     jitted code and donate it for in-place reuse."""
     dtype = dtype or cfg.dtype
     T = max_seq_len or cfg.max_seq_len
-    shape = (cfg.num_layers, batch_size, cfg.num_kv_heads, T, cfg.head_dim)
+    shape = (batch_size, cfg.num_kv_heads, T, cfg.head_dim)
+    if unstacked:
+        return KVCache(
+            k=tuple(jnp.zeros(shape, dtype) for _ in range(cfg.num_layers)),
+            v=tuple(jnp.zeros(shape, dtype) for _ in range(cfg.num_layers)),
+        )
+    shape = (cfg.num_layers,) + shape
     return KVCache(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
+
+
+def is_unstacked(trunk_params: dict) -> bool:
+    return isinstance(trunk_params["layers"], (list, tuple))
+
+
+def unstack_trunk_params(trunk_params: dict) -> dict:
+    """Stacked {"layers": {name: (L, ...)}} → {"layers": (L × {name: (...)})}.
+
+    Per-layer weights become independent buffers, so the unrolled decode
+    path reads each one directly (quantized ``{"q","scale"}`` leaves both
+    carry the leading L axis and slice through transparently)."""
+    if is_unstacked(trunk_params):
+        return trunk_params
+    layers = trunk_params["layers"]
+    L = jax.tree.leaves(layers)[0].shape[0]
+    per_layer = tuple(
+        jax.tree.map(lambda a: a[l], layers) for l in range(L)
+    )
+    return {"layers": per_layer, "final_norm": trunk_params["final_norm"]}
 
 
 # ---------------------------------------------------------------------------
@@ -229,7 +263,7 @@ def transformer_forward(
     rope_win = rope_cs[positions]  # (B, S, hd/2, 2)
 
     if cache is not None:
-        T = cache.k.shape[3]
+        T = cache.k[0].shape[2] if isinstance(cache.k, (list, tuple)) else cache.k.shape[3]
         key_pos = jnp.arange(T, dtype=jnp.int32)
         # causal vs absolute cache slots; slots > current pos are never read
         mask = key_pos[None, None, :] <= positions[:, :, None]  # (B, S, T)
@@ -276,8 +310,25 @@ def transformer_forward(
         h = h + qdot(gate * w13[..., F:], wl["w2"])
         return h, lk, lv
 
-    # scan over layers: params (and cache) already stacked on leading L axis
-    if cache is not None:
+    if is_unstacked(params):
+        # unrolled layer loop over per-layer weight buffers: every weight
+        # is its own XLA buffer (no in-program slices of stacked arrays),
+        # so Pallas int8 kernels stream straight from the parameter and
+        # XLA can keep re-read weights VMEM-resident across decode steps
+        h = x
+        if cache is not None:
+            nk, nv = [], []
+            for wl, lk, lv in zip(params["layers"], cache.k, cache.v):
+                h, lk, lv = layer(h, wl, lk, lv)
+                nk.append(lk)
+                nv.append(lv)
+            new_cache = KVCache(k=tuple(nk), v=tuple(nv))
+        else:
+            for wl in params["layers"]:
+                h, _, _ = layer(h, wl, None, None)
+            new_cache = None
+    elif cache is not None:
+        # scan over layers: params (and cache) stacked on leading L axis
 
         def scan_body(h, xs):
             wl, lk, lv = xs

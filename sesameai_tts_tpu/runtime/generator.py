@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import functools
 import math
+import threading
 import time
 from typing import Callable, Iterator, List, Optional, Sequence, Tuple
 
@@ -71,7 +72,14 @@ class Generator:
         stream_chunk_frames: int = 1,
         decode_chunk_frames: int = 10,
         seed: int = 0,
+        unroll: bool = True,
     ):
+        # decode path default: unrolled layer/codebook loops over per-layer
+        # weight buffers (see models/csm.py::unstack_csm_params) — measured
+        # prerequisite for int8 bandwidth + decoder-weight on-chip reuse
+        self._unrolled = unroll
+        if unroll:
+            csm_params = csm_model.unstack_csm_params(csm_params)
         self._params = csm_params
         self._cfg = csm_cfg
         self._mimi = mimi
@@ -81,6 +89,7 @@ class Generator:
         self._stream_chunk_frames = stream_chunk_frames
         self._decode_chunk_frames = decode_chunk_frames
         self._key = jax.random.PRNGKey(seed)
+        self._key_lock = threading.Lock()
         self._rope = precompute_rope(csm_cfg.backbone)
         self._max_seq_len = csm_cfg.backbone.max_seq_len
         self.metrics = Metrics()  # per-stage timings (utils/profiling.py)
@@ -97,7 +106,9 @@ class Generator:
     def _build_programs(self):
         cfg, mimi = self._cfg, self._mimi
 
-        @functools.partial(jax.jit, static_argnames=("topk",))
+        # temperature/topk are traced (possibly per-slot arrays): no
+        # recompile when a request changes sampling params
+        @jax.jit
         def prefill(params, state, tokens, mask, valid_len, key, temperature, topk):
             return csm_model.generate_frame(
                 params, cfg, state, tokens, mask, key,
@@ -105,7 +116,7 @@ class Generator:
             )
 
         @functools.partial(
-            jax.jit, static_argnames=("num_frames", "topk"), donate_argnames=("state",)
+            jax.jit, static_argnames=("num_frames",), donate_argnames=("state",)
         )
         def decode(params, state, prev_frame, done, key, num_frames, temperature, topk):
             return csm_model.decode_frames(
@@ -114,7 +125,7 @@ class Generator:
             )
 
         @functools.partial(
-            jax.jit, static_argnames=("num_frames", "topk"), donate_argnames=("state",)
+            jax.jit, static_argnames=("num_frames",), donate_argnames=("state",)
         )
         def decode_packed(params, state, prev_frame, done, key, num_frames,
                           temperature, topk):
@@ -191,7 +202,9 @@ class Generator:
         return np.concatenate(toks), np.concatenate(masks)
 
     def _next_key(self):
-        self._key, k = jax.random.split(self._key)
+        # admission workers and the serving tick thread share this PRNG
+        with self._key_lock:
+            self._key, k = jax.random.split(self._key)
         return k
 
     # -- cached voice context ----------------------------------------------
@@ -220,7 +233,9 @@ class Generator:
         msk_pad = np.zeros((1, bucket, K + 1), bool)
         tok_pad[0, :S], msk_pad[0, :S] = tokens, mask
 
-        state = csm_model.init_state(self._cfg, 1, self._params["projection"].dtype)
+        state = csm_model.init_state(
+            self._cfg, 1, self._params["projection"].dtype, unstacked=self._unrolled
+        )
         state = self._extend(
             self._params, state, jnp.asarray(tok_pad), jnp.asarray(msk_pad),
             jnp.array([S], jnp.int32),
@@ -240,7 +255,8 @@ class Generator:
         else:
             tokens, mask = self._tokenize_prompt(text, speaker, context)
             base_state = csm_model.init_state(
-                self._cfg, 1, self._params["projection"].dtype
+                self._cfg, 1, self._params["projection"].dtype,
+                unstacked=self._unrolled,
             )
             total = tokens.shape[0]
 

@@ -62,14 +62,15 @@ class Session:
 class BatchedTTSServer:
     """Slot-pool scheduler over a Generator's model/codec programs.
 
-    Sampling params are shared across concurrently-decoded slots (the
-    jitted program has one temperature/topk); per-session values apply
-    when a session is alone in flight, otherwise the first admitted
-    session's values win for the batch tick.
+    Sampling params are per-slot: temperature and topk ride the jitted
+    decode program as (B,) arrays, so concurrent sessions keep their own
+    values (the threshold bisection in ops/sampling.py handles traced
+    per-row k).
 
-    Known limitation: admission prefill runs synchronously inside the
-    scheduler loop, pausing in-flight decode for ~the prefill latency on
-    every new session (round-2: overlap admissions on a side queue).
+    Admission prefill runs on a dedicated worker thread: the tick thread
+    only scatters ready states into slots (one cheap device op), so new
+    sessions no longer stall in-flight decode for the prefill + host
+    round-trip latency.
     """
 
     def __init__(self, generator: Generator, slots: int = 4,
@@ -79,16 +80,23 @@ class BatchedTTSServer:
         self.chunk = chunk_frames
         cfg = generator._cfg
         dtype = generator._params["projection"].dtype
-        self._state = csm_model.init_state(cfg, slots, dtype)
+        self._state = csm_model.init_state(
+            cfg, slots, dtype, unstacked=getattr(generator, "_unrolled", False)
+        )
         self._prev_frame = jnp.zeros((slots, cfg.audio_num_codebooks), jnp.int32)
         self._done = jnp.ones((slots,), bool)  # all slots idle (=done)
         self._budget = np.zeros(slots, np.int64)  # frames left per slot
+        self._temperature = np.ones(slots, np.float32)
+        self._topk = np.ones(slots, np.int32)
         self._sessions: List[Optional[Session]] = [None] * slots
         self._mimi_states: List = [None] * slots
         self._pending: "queue.Queue[Session]" = queue.Queue()
+        # prefilled sessions awaiting a slot: (session, frame, state1, done1, max_gen)
+        self._ready: "queue.Queue[tuple]" = queue.Queue()
         self._lock = threading.Lock()
         self._running = False
         self._thread: Optional[threading.Thread] = None
+        self._admitter: Optional[threading.Thread] = None
         self._build_programs()
 
     # -- jitted slot ops -----------------------------------------------------
@@ -99,12 +107,16 @@ class BatchedTTSServer:
         @functools.partial(jax.jit, donate_argnums=(0,))
         def scatter_slot(batched: csm_model.CSMState, single: csm_model.CSMState,
                          frame1, done1, prev_frame, done, slot):
-            k = jax.lax.dynamic_update_slice(
-                batched.cache.k, single.cache.k, (0, slot, 0, 0, 0)
-            )
-            v = jax.lax.dynamic_update_slice(
-                batched.cache.v, single.cache.v, (0, slot, 0, 0, 0)
-            )
+            def upd(b, s):
+                # stacked caches are (L, B, KV, T, hd) — slot on axis 1;
+                # unstacked per-layer caches are (B, KV, T, hd) — axis 0
+                starts = (0, slot, 0, 0, 0) if b.ndim == 5 else (slot, 0, 0, 0)
+                return jax.lax.dynamic_update_slice(
+                    b, s, tuple(jnp.asarray(i, jnp.int32) for i in starts)
+                )
+
+            k = jax.tree.map(upd, batched.cache.k, single.cache.k)
+            v = jax.tree.map(upd, batched.cache.v, single.cache.v)
             pos = jax.lax.dynamic_update_slice(batched.pos, single.pos, (slot,))
             prev = jax.lax.dynamic_update_slice(prev_frame, frame1, (slot, 0))
             dn = jax.lax.dynamic_update_slice(done, done1, (slot,))
@@ -126,6 +138,8 @@ class BatchedTTSServer:
 
     def start(self):
         self._running = True
+        self._admitter = threading.Thread(target=self._admission_loop, daemon=True)
+        self._admitter.start()
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
@@ -133,29 +147,43 @@ class BatchedTTSServer:
         self._running = False
         if self._thread:
             self._thread.join(timeout=10)
+        if self._admitter:
+            self._admitter.join(timeout=10)
 
-    # -- scheduler -------------------------------------------------------------
+    # -- admission (worker thread: prefill + host syncs off the tick) ---------
 
-    def _admit(self, slot: int, session: Session):
+    def _admission_loop(self):
         gen = self.gen
-        max_gen = int(session.max_audio_length_ms / FRAME_MS)
-        try:
-            frame, state1, done1, max_gen = gen._prefill_utterance(
-                session.text, session.speaker, list(session.context), None,
-                max_gen, session.temperature, session.topk,
-            )
-        except Exception as e:
-            session.error = e
-            session.chunks.put(None)
-            return
+        while self._running:
+            try:
+                session = self._pending.get(timeout=0.05)
+            except queue.Empty:
+                continue
+            max_gen = int(session.max_audio_length_ms / FRAME_MS)
+            try:
+                frame, state1, done1, max_gen = gen._prefill_utterance(
+                    session.text, session.speaker, list(session.context), None,
+                    max_gen, session.temperature, session.topk,
+                )
+            except Exception as e:
+                session.error = e
+                session.chunks.put(None)
+                continue
+            done1_np = bool(np.asarray(done1)[0])  # host sync here, not in tick
+            self._ready.put((session, frame, state1, done1_np, max_gen))
+
+    def _attach(self, slot: int, item) -> None:
+        """Scatter a prefilled session into an idle slot (tick thread)."""
+        session, frame, state1, done1_np, max_gen = item
         self._state, self._prev_frame, self._done = self._scatter_slot(
-            self._state, state1, frame, done1,
+            self._state, state1, frame, jnp.asarray([done1_np]),
             self._prev_frame, self._done, jnp.int32(slot),
         )
         self._sessions[slot] = session
         self._budget[slot] = max_gen - 1
-        self._mimi_states[slot] = gen._mimi.init_decode_state(1, np.float32)
-        done1_np = bool(np.asarray(done1)[0])  # single host fetch
+        self._temperature[slot] = session.temperature
+        self._topk[slot] = session.topk
+        self._mimi_states[slot] = self.gen._mimi.init_decode_state(1, np.float32)
         # the prefill frame is the first audio frame (if not EOS)
         if not done1_np:
             self._emit(slot, np.asarray(frame))
@@ -199,24 +227,26 @@ class BatchedTTSServer:
                     if s is not None:
                         s.error = e
                         self._finish(slot)
-                while not self._pending.empty():
-                    try:
-                        s = self._pending.get_nowait()
+                for q in (self._pending, self._ready):
+                    while not q.empty():
+                        try:
+                            item = q.get_nowait()
+                        except queue.Empty:
+                            break
+                        s = item if isinstance(item, Session) else item[0]
                         s.error = e
                         s.chunks.put(None)
-                    except queue.Empty:
-                        break
                 import logging
 
                 logging.getLogger(__name__).exception("serving tick failed")
                 time.sleep(0.1)
 
     def _tick(self, gen):
-            # admit pending into idle slots
+            # attach prefilled sessions to idle slots (cheap device scatter)
             for slot in range(self.B):
-                if self._sessions[slot] is None and not self._pending.empty():
+                if self._sessions[slot] is None and not self._ready.empty():
                     try:
-                        self._admit(slot, self._pending.get_nowait())
+                        self._attach(slot, self._ready.get_nowait())
                     except queue.Empty:
                         break
 
@@ -225,11 +255,11 @@ class BatchedTTSServer:
                 time.sleep(0.005)
                 return
 
-            lead = next(s for s in self._sessions if s is not None)
             n = int(min(self.chunk, max(self._budget.max(), 1)))
             packed, self._prev_frame, self._done, self._state = gen._decode_packed(
                 gen._params, self._state, self._prev_frame, self._done,
-                gen._next_key(), n, jnp.float32(lead.temperature), lead.topk,
+                gen._next_key(), n,
+                jnp.asarray(self._temperature), jnp.asarray(self._topk),
             )
             # one fetch per tick (remote-TPU round trips are ~40 ms)
             B, K = self.B, gen._cfg.audio_num_codebooks

@@ -38,10 +38,18 @@ def main(argv=None):
                         help="Voice registry: samples.py path, JSON, or directory")
     parser.add_argument("--flavor", type=str, default="csm-1b",
                         choices=["csm-1b", "test-tiny"])
-    parser.add_argument("--no-watermark", action="store_true")
+    parser.add_argument(
+        "--no-watermark", action="store_true",
+        help="Disable the provenance watermark (test-tiny flavor only; "
+        "flagship generation is always watermarked, matching the "
+        "reference's unconditional watermarking)",
+    )
     parser.add_argument("--max-ms", type=float, default=30_000)
 
     args = parser.parse_args(argv)
+
+    if args.no_watermark and args.flavor != "test-tiny":
+        parser.error("--no-watermark is restricted to --flavor test-tiny")
 
     if args.device == "cpu":
         import jax

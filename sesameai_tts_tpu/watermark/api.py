@@ -5,6 +5,13 @@
 ``verify``: resample to 44.1 kHz, decode with phase-shift search,
 compare message to key (reference watermarking.py:43-59).
 ``check_audio_from_file`` + CLI: reference watermarking.py:12-17, 62-69.
+
+**Interoperability caveat**: the underlying scheme (watermark/dsp.py) is
+this framework's own STFT spread-spectrum watermark, NOT the learned
+silentcipher model — audio marked here is not detectable by
+silentcipher-based verifiers and vice versa.  API and key semantics
+match, so swapping in a converted silentcipher model later changes no
+call sites.
 """
 
 from __future__ import annotations
@@ -36,8 +43,10 @@ def watermark(
     Default strength is 30 dB message-SDR (the reference's learned
     silentcipher runs at 36 dB; this framework's DSP watermark needs
     ~6 dB more energy for reliable verification across signals —
-    measured verify-confidence 6.5-8 at 30 dB vs a threshold of 4,
-    robust to gain changes, 16-bit quantization and trimming)."""
+    measured verify-confidence 5.2-6.7 at 30 dB vs a threshold of 4,
+    robust to gain changes, 16-bit quantization, resampling and leading
+    trims, which the decoder re-synchronizes via an offset × grid-phase
+    search).  Not silentcipher-compatible — see the module docstring."""
     audio_44k = resample(audio, sample_rate, WATERMARK_RATE)
     encoded, _ = watermarker.encode_wav(
         audio_44k, WATERMARK_RATE, watermark_key, calc_sdr=False, message_sdr=message_sdr

@@ -64,17 +64,28 @@ _BLOCK_T = 4  # chip blocks span 4 frames × 4 bins: with 75% STFT overlap,
 _BLOCK_F = 4  # neighbouring frames carry the same chip, so overlap-add
 #               reconstruction preserves (instead of averaging away) the mark
 
+# The chip grid repeats in time every P_TIME block-rows (11·4 frames
+# ≈ 0.51 s).  A leading trim of d samples therefore desynchronizes the
+# grid only modulo one period: decode re-synchronizes with a search over
+# 16 sample offsets (sub-block-row, HOP/4 steps) × 11 row phases.  Row
+# phases are cheap — one STFT per sample offset, then a vectorized
+# re-aggregation per phase (trim robustness; reference silentcipher's
+# learned decoder is shift-tolerant, watermarking.py:43-59).
+P_TIME = 11
 
-@lru_cache(maxsize=8)
-def _cell_tables(frames: int) -> Tuple[np.ndarray, np.ndarray]:
-    """Per-STFT-cell (slot, chip-class) assignment for a given frame count."""
+
+def _grid(frames: int, phase) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-STFT-cell (slot, chip-class) assignment, time-periodic.
+
+    ``phase`` shifts the block-row index mod P_TIME (0 at embed time;
+    searched at decode time)."""
     nbins = _BIN_HI - _BIN_LO
-    bt = np.arange(frames)[:, None] // _BLOCK_T
-    bf = np.arange(nbins)[None, :] // _BLOCK_F
     nbf = (nbins + _BLOCK_F - 1) // _BLOCK_F
+    bt = (jnp.arange(frames)[:, None] // _BLOCK_T + phase) % P_TIME
+    bf = jnp.arange(nbins)[None, :] // _BLOCK_F
     block = bt * nbf + bf
-    slots = (block % N_BYTES).astype(np.int32)
-    chips = ((block // N_BYTES) % N_CODES).astype(np.int32)
+    slots = (block % N_BYTES).astype(jnp.int32)
+    chips = ((block // N_BYTES) % N_CODES).astype(jnp.int32)
     return slots, chips
 
 
@@ -110,7 +121,7 @@ def _istft(spec: jnp.ndarray, length: int) -> jnp.ndarray:
 
 def _chip_signs(message: jnp.ndarray, frames: int) -> jnp.ndarray:
     """±1 chip per (frame, bin) cell given the 5-byte message."""
-    slots, chips = _cell_tables(frames)
+    slots, chips = _grid(frames, 0)
     prn = jnp.asarray(_prn())
     shift = message[slots]  # (frames, nbins) byte value per cell
     return prn[(chips + shift) % N_CODES]
@@ -158,8 +169,10 @@ def _box_blur(x: jnp.ndarray, k: int = 17) -> jnp.ndarray:
 
 @partial(jax.jit, static_argnames=("frames",))
 def _slot_scores_jit(x: jnp.ndarray, frames: int, valid_frames: jnp.ndarray) -> jnp.ndarray:
-    """→ (N_BYTES, N_CODES) correlation score for every byte value.
+    """→ (P_TIME, N_BYTES, N_CODES) correlation scores per grid phase.
 
+    The STFT + detrending run once; the per-(slot, chip) aggregation and
+    correlation are vmapped over the P_TIME candidate row phases.
     ``valid_frames`` masks bucket padding out of the class means — padded
     cells would otherwise dilute every correlation by real/bucket."""
     spec = _stft(x, frames)
@@ -169,33 +182,32 @@ def _slot_scores_jit(x: jnp.ndarray, frames: int, valid_frames: jnp.ndarray) -> 
         (jnp.arange(frames) >= _EDGE_FRAMES) & (jnp.arange(frames) < valid_frames)
     )[:, None].astype(jnp.float32)
 
-    slots, chips = _cell_tables(frames)
-    slots_j, chips_j = jnp.asarray(slots), jnp.asarray(chips)
-
     flat_r = (resid * fmask).reshape(-1)
     flat_w = jnp.broadcast_to(fmask, resid.shape).reshape(-1)
-    flat_s = slots_j.reshape(-1)
-    flat_c = chips_j.reshape(-1)
-    # mean residual per (slot, chip class)
-    lin = flat_s * N_CODES + flat_c
-    sums = jnp.zeros((N_BYTES * N_CODES,), jnp.float32).at[lin].add(flat_r)
-    cnts = jnp.zeros((N_BYTES * N_CODES,), jnp.float32).at[lin].add(flat_w)
-    r = (sums / jnp.maximum(cnts, 1.0)).reshape(N_BYTES, N_CODES)
-    r = r - jnp.mean(r, axis=1, keepdims=True)
-
-    # score[v] = Σ_c r[c]·prn[(c+v) mod 256] for all v via FFT:
-    # irfft(R·conj(P))[k] = Σ_c r[c]·prn[(c−k)], so index at k = −v mod 256
     prn = jnp.asarray(_prn())
-    R = jnp.fft.rfft(r, axis=-1)
     P = jnp.fft.rfft(prn)
-    corr_neg = jnp.fft.irfft(R * jnp.conj(P), n=N_CODES, axis=-1)
     idx = (-jnp.arange(N_CODES)) % N_CODES
-    corr = corr_neg[:, idx]
-    # normalize to z-scores within each slot
-    corr = (corr - jnp.mean(corr, axis=-1, keepdims=True)) / (
-        jnp.std(corr, axis=-1, keepdims=True) + 1e-8
-    )
-    return corr  # score[s, v] high where v is the embedded byte
+
+    def scores_for_phase(phase):
+        slots, chips = _grid(frames, phase)
+        # mean residual per (slot, chip class)
+        lin = (slots * N_CODES + chips).reshape(-1)
+        sums = jnp.zeros((N_BYTES * N_CODES,), jnp.float32).at[lin].add(flat_r)
+        cnts = jnp.zeros((N_BYTES * N_CODES,), jnp.float32).at[lin].add(flat_w)
+        r = (sums / jnp.maximum(cnts, 1.0)).reshape(N_BYTES, N_CODES)
+        r = r - jnp.mean(r, axis=1, keepdims=True)
+
+        # score[v] = Σ_c r[c]·prn[(c+v) mod 256] for all v via FFT:
+        # irfft(R·conj(P))[k] = Σ_c r[c]·prn[(c−k)], so index at k = −v mod 256
+        R = jnp.fft.rfft(r, axis=-1)
+        corr_neg = jnp.fft.irfft(R * jnp.conj(P), n=N_CODES, axis=-1)
+        corr = corr_neg[:, idx]
+        # normalize to z-scores within each slot
+        return (corr - jnp.mean(corr, axis=-1, keepdims=True)) / (
+            jnp.std(corr, axis=-1, keepdims=True) + 1e-8
+        )
+
+    return jax.vmap(scores_for_phase)(jnp.arange(P_TIME))
 
 
 def _pad_to_frames(x: np.ndarray) -> Tuple[np.ndarray, int]:
@@ -221,7 +233,7 @@ class Watermarker:
     message) takes per-slot argmax and thresholds the mean max-z against
     the max-of-256 null (~2.9)."""
 
-    def __init__(self, verify_threshold: float = 4.0, blind_threshold: float = 3.6):
+    def __init__(self, verify_threshold: float = 4.0, blind_threshold: float = 3.7):
         self.verify_threshold = verify_threshold
         self.blind_threshold = blind_threshold
 
@@ -258,22 +270,26 @@ class Watermarker:
     ) -> dict:
         assert sample_rate == WATERMARK_RATE
         x = np.asarray(audio, np.float32).reshape(-1)
-        offsets = [0, HOP // 4, HOP // 2, 3 * HOP // 4] if phase_shift_decoding else [0]
+        # sub-block-row alignment search: HOP/4 steps across one block row
+        # (BLOCK_T frames); combined with the P_TIME row phases inside
+        # _slot_scores_jit this re-synchronizes any leading trim
+        n_off = 4 * _BLOCK_T if phase_shift_decoding else 1
         best = None
-        for off in offsets:
+        for off in [i * (HOP // 4) for i in range(n_off)]:
             xo, frames = _pad_to_frames(x[off:])
             n_valid = max(1, 1 + (len(x) - off - N_FFT) // HOP) if len(x) - off >= N_FFT else 1
-            scores = np.asarray(
+            phased = np.asarray(
                 _slot_scores_jit(jnp.asarray(xo), frames, jnp.int32(n_valid))
-            )
-            if expected_message is not None:
-                conf = float(
-                    sum(scores[s, expected_message[s]] for s in range(N_BYTES))
-                ) / math.sqrt(N_BYTES)
-            else:
-                conf = float(scores.max(axis=1).mean())
-            if best is None or conf > best[0]:
-                best = (conf, scores)
+            )  # (P_TIME, N_BYTES, N_CODES)
+            for scores in phased:
+                if expected_message is not None:
+                    conf = float(
+                        sum(scores[s, expected_message[s]] for s in range(N_BYTES))
+                    ) / math.sqrt(N_BYTES)
+                else:
+                    conf = float(scores.max(axis=1).mean())
+                if best is None or conf > best[0]:
+                    best = (conf, scores)
         conf, scores = best
         if expected_message is not None:
             status = conf >= self.verify_threshold

@@ -11,12 +11,12 @@ import pytest
 import jax
 
 from sesameai_tts_tpu.runtime.frames import Segment
-from sesameai_tts_tpu.runtime.loader import build_generator, test_tiny_spec
+from sesameai_tts_tpu.runtime.loader import build_generator, test_tiny_spec as tiny_spec
 
 
 @pytest.fixture(scope="module")
 def gen():
-    return build_generator(test_tiny_spec(), decode_chunk_frames=4)
+    return build_generator(tiny_spec(), decode_chunk_frames=4)
 
 
 def test_generate_produces_audio(gen):

@@ -1,0 +1,79 @@
+"""Sampler statistics: top-k threshold exactness and distributional
+correctness of the Gumbel top-k sampler (reference models.py:72-87).
+
+The χ² test draws a deterministic batch of samples under a fixed PRNG
+key and compares empirical frequencies against the exact
+top-k-masked/temperature-scaled softmax.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sesameai_tts_tpu.ops.sampling import sample_topk, topk_threshold
+
+
+@pytest.mark.parametrize("k", [1, 3, 10, 40, 100])
+def test_bisection_threshold_matches_sort(k):
+    key = jax.random.PRNGKey(k)
+    logits = jax.random.normal(key, (7, 257)) * 5.0
+    thr = topk_threshold(logits, k)
+    kth = jax.lax.top_k(logits, k)[0][..., -1:]
+    # identical keep-mask (ties at the k-th value kept by both)
+    np.testing.assert_array_equal(
+        np.asarray(logits >= thr), np.asarray(logits >= kth)
+    )
+
+
+def test_greedy_is_argmax():
+    logits = jax.random.normal(jax.random.PRNGKey(0), (5, 64))
+    out = sample_topk(jax.random.PRNGKey(1), logits, 1, 0.8)
+    np.testing.assert_array_equal(np.asarray(out), np.argmax(logits, -1))
+
+
+def test_never_samples_outside_topk():
+    key = jax.random.PRNGKey(2)
+    logits = jax.random.normal(key, (64,)) * 3.0
+    k = 5
+    topset = set(np.asarray(jax.lax.top_k(logits, k)[1]).tolist())
+    keys = jax.random.split(jax.random.PRNGKey(3), 512)
+    draws = jax.vmap(lambda kk: sample_topk(kk, logits, k, 1.0))(keys)
+    assert set(np.asarray(draws).tolist()) <= topset
+
+
+@pytest.mark.parametrize("temperature,k", [(0.7, 10), (1.3, 5)])
+def test_chi_square_against_exact_distribution(temperature, k):
+    V = 50
+    logits = jax.random.normal(jax.random.PRNGKey(4), (V,)) * 2.0
+
+    # exact top-k + temperature distribution
+    scaled = np.asarray(logits, np.float64) / temperature
+    kth = np.sort(scaled)[-k]
+    masked = np.where(scaled < kth, -np.inf, scaled)
+    p = np.exp(masked - masked.max())
+    p /= p.sum()
+
+    N = 20_000
+    keys = jax.random.split(jax.random.PRNGKey(5), N)
+    draws = np.asarray(
+        jax.vmap(lambda kk: sample_topk(kk, logits, k, temperature))(keys)
+    )
+    counts = np.bincount(draws, minlength=V)
+
+    support = p > 0
+    assert counts[~support].sum() == 0
+    chi2 = np.sum((counts[support] - N * p[support]) ** 2 / (N * p[support]))
+    # df = k-1; p=0.001 critical values: df9≈27.9, df4≈18.5. Deterministic
+    # fixed-key draw, so no flake risk; generous margin anyway.
+    assert chi2 < 30.0, f"chi2={chi2:.1f} (df={k-1})"
+
+
+def test_per_batch_temperature_broadcasts():
+    logits = jnp.stack([jnp.arange(8.0), jnp.arange(8.0)[::-1]])
+    temps = jnp.array([0.5, 2.0])
+    out = sample_topk(jax.random.PRNGKey(6), logits, 3, temps)
+    assert out.shape == (2,)
+    # extreme cold temperature → effectively greedy
+    cold = sample_topk(jax.random.PRNGKey(7), logits, 3, jnp.array([1e-4, 1e-4]))
+    np.testing.assert_array_equal(np.asarray(cold), [7, 0])

@@ -10,7 +10,7 @@ import numpy as np
 import pytest
 
 from sesameai_tts_tpu.audio.io import read_wav_mono, write_wav
-from sesameai_tts_tpu.runtime.loader import test_tiny_spec
+from sesameai_tts_tpu.runtime.loader import test_tiny_spec as tiny_spec
 from sesameai_tts_tpu.service.tts import TTS
 from sesameai_tts_tpu.service.voices import load_registry
 from sesameai_tts_tpu.utils.text import clean_text_for_tts, split_clean_sentences
@@ -32,7 +32,7 @@ def voice_dir(tmp_path_factory):
 
 @pytest.fixture(scope="module")
 def tts(voice_dir):
-    engine = TTS(spec=test_tiny_spec(), voices=voice_dir, enable_watermark=False)
+    engine = TTS(spec=tiny_spec(), voices=voice_dir, enable_watermark=False)
     engine.load_model()
     engine.load_voice("testvoice", warmup=False)
     return engine

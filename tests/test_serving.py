@@ -4,13 +4,13 @@
 import numpy as np
 import pytest
 
-from sesameai_tts_tpu.runtime.loader import build_generator, test_tiny_spec
+from sesameai_tts_tpu.runtime.loader import build_generator, test_tiny_spec as tiny_spec
 from sesameai_tts_tpu.runtime.serving import BatchedTTSServer
 
 
 @pytest.fixture(scope="module")
 def server():
-    gen = build_generator(test_tiny_spec(), decode_chunk_frames=4)
+    gen = build_generator(tiny_spec(), decode_chunk_frames=4)
     srv = BatchedTTSServer(gen, slots=2, chunk_frames=4)
     srv.start()
     yield srv
