@@ -52,23 +52,29 @@ class StorytellerApp(WebAppBase):
         as pasted story text directly (the two tab modes,
         reference web_storyteller.py:433-452).
 
-        Yields (story_text, status, start_idx, end_idx, active)."""
+        Yields (story_text, status, start_idx, end_idx, active,
+        replay_audio). When continuing an existing story, ``replay_audio``
+        on the final yield carries all previously narrated audio combined
+        as a ``(sample_rate, float32)`` tuple so the player restarts from
+        the top before the new part streams in (reference
+        web_storyteller.py:102-126)."""
         prompt = (prompt or "").strip()
         if not prompt:
-            yield self.story_text, "Empty prompt.", 0, 0, False
+            yield self.story_text, "Empty prompt.", 0, 0, False, None
             return
 
         if use_llm:
-            yield self.story_text, "Writing the next part...", 0, 0, False
+            yield self.story_text, "Writing the next part...", 0, 0, False, None
             try:
                 part = self.llm.query(prompt, plaintext_output=True, stream=False)
             except Exception as e:
                 logger.exception("LLM failed")
-                yield self.story_text, f"LLM error: {e}", 0, 0, False
+                yield self.story_text, f"LLM error: {e}", 0, 0, False, None
                 return
         else:
             part = prompt
 
+        replay = self.replay_audio() if self.story_parts else None
         self.story_parts.append(part)
         self.prompt_audio_segments.append([])
         new_sentences = self.split_text_into_sentences(part)
@@ -79,7 +85,19 @@ class StorytellerApp(WebAppBase):
             start_idx,
             end_idx,
             True,
+            replay,
         )
+
+    def replay_audio(self):
+        """All previously narrated audio combined → (sr, float32) Gradio
+        tuple, or None when nothing has been narrated yet."""
+        clips = [c for group in self.prompt_audio_segments for c in group]
+        if not clips:
+            return None
+        combined = clips[0]
+        for clip in clips[1:]:
+            combined = combined + clip
+        return combined.sample_rate, combined.samples
 
     @property
     def story_text(self) -> str:
@@ -194,8 +212,9 @@ def main(argv=None):
         act_state = gr.State(False)
 
         def drive(p, t, use_llm):
-            for text, st, s, e, a in app.continue_story(p, use_llm=use_llm):
-                yield text, st, (s, e), a
+            for text, st, s, e, a, replay in app.continue_story(p, use_llm=use_llm):
+                # continuation: replay everything narrated so far first
+                yield text, st, (s, e), a, replay
 
         def pump(rng, active, t, sp):
             for act, audio in app.sentence_generator_loop(
@@ -205,10 +224,10 @@ def main(argv=None):
                     yield audio
 
         go.click(drive, [prompt, temp, gr.State(True)],
-                 [story, status, rng_state, act_state]).then(
+                 [story, status, rng_state, act_state, audio_out]).then(
             pump, [rng_state, act_state, temp, speed], [audio_out])
         narrate.click(drive, [pasted, temp, gr.State(False)],
-                      [story, status, rng_state, act_state]).then(
+                      [story, status, rng_state, act_state, audio_out]).then(
             pump, [rng_state, act_state, temp, speed], [audio_out])
         save_btn.click(app.combine_full_story, [], [story_file])
         reset_btn.click(lambda: (app.reset_story(), "", "Story reset.")[1:],

@@ -30,18 +30,51 @@ import numpy as np
 from sesameai_tts_tpu.core.config import CSMConfig, TransformerConfig
 
 
-def _read_state_dict(path: str) -> Dict[str, np.ndarray]:
-    """Read a .safetensors or torch .pt/.ckpt file into numpy arrays."""
-    if path.endswith(".safetensors"):
-        from safetensors.numpy import load_file
+def _strip_prefixes(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Normalize key prefixes real checkpoints carry: ``model.`` (hub
+    mixin wrappers) and ``_orig_mod.`` (torch.compile'd modules)."""
+    for prefix in ("model.", "_orig_mod."):
+        if sd and all(k.startswith(prefix) for k in sd):
+            sd = {k[len(prefix):]: v for k, v in sd.items()}
+    return {k.replace("._orig_mod.", "."): v for k, v in sd.items()}
 
-        return load_file(path)
+
+def _read_state_dict(path: str) -> Dict[str, np.ndarray]:
+    """Read a .safetensors or torch .pt/.ckpt file into numpy arrays.
+
+    Accepts a model DIRECTORY too (picks model.safetensors / *.safetensors
+    / ckpt.pt — the published sesame/csm-1b repo layout)."""
+    if os.path.isdir(path):
+        for name in ("model.safetensors", "ckpt.pt", "pytorch_model.bin"):
+            cand = os.path.join(path, name)
+            if os.path.exists(cand):
+                path = cand
+                break
+        else:
+            import glob
+
+            st = sorted(glob.glob(os.path.join(path, "*.safetensors")))
+            if not st:
+                raise FileNotFoundError(f"no checkpoint file found in {path}")
+            path = st[0]
+    if path.endswith(".safetensors"):
+        try:
+            from safetensors.numpy import load_file
+
+            return _strip_prefixes(load_file(path))
+        except Exception:
+            # bf16 tensors have no numpy dtype — go through torch
+            from safetensors.torch import load_file as load_torch
+
+            return _strip_prefixes(
+                {k: v.float().numpy() for k, v in load_torch(path).items()}
+            )
     import torch
 
     sd = torch.load(path, map_location="cpu", weights_only=True)
     if isinstance(sd, dict) and "model" in sd and isinstance(sd["model"], dict):
         sd = sd["model"]
-    return {k: v.float().numpy() for k, v in sd.items()}
+    return _strip_prefixes({k: v.float().numpy() for k, v in sd.items()})
 
 
 def _stack_trunk(

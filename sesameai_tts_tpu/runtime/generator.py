@@ -73,6 +73,7 @@ class Generator:
         decode_chunk_frames: int = 10,
         seed: int = 0,
         unroll: bool = True,
+        mesh=None,
     ):
         # decode path default: unrolled layer/codebook loops over per-layer
         # weight buffers (see models/csm.py::unstack_csm_params) — measured
@@ -80,6 +81,18 @@ class Generator:
         self._unrolled = unroll
         if unroll:
             csm_params = csm_model.unstack_csm_params(csm_params)
+        # multi-chip inference: params TP-sharded over the mesh, codec
+        # replicated, states dp-sharded (parallel/infer.py); single-chip
+        # (mesh=None) paths are untouched
+        self._mesh = mesh
+        if mesh is not None:
+            from sesameai_tts_tpu.parallel.infer import (
+                shard_csm_params,
+                shard_replicated,
+            )
+
+            csm_params = shard_csm_params(csm_params, mesh)
+            mimi_params = shard_replicated(mimi_params, mesh)
         self._params = csm_params
         self._cfg = csm_cfg
         self._mimi = mimi
@@ -207,6 +220,18 @@ class Generator:
             self._key, k = jax.random.split(self._key)
         return k
 
+    def _init_state(self, batch_size: int) -> csm_model.CSMState:
+        """Fresh backbone state; dp-sharded when running on a mesh."""
+        state = csm_model.init_state(
+            self._cfg, batch_size, self._params["projection"].dtype,
+            unstacked=self._unrolled,
+        )
+        if self._mesh is not None:
+            from sesameai_tts_tpu.parallel.infer import shard_state
+
+            state = shard_state(state, self._mesh)
+        return state
+
     # -- cached voice context ----------------------------------------------
 
     def precompute_context_state(self, context: Sequence) -> Tuple:
@@ -233,9 +258,7 @@ class Generator:
         msk_pad = np.zeros((1, bucket, K + 1), bool)
         tok_pad[0, :S], msk_pad[0, :S] = tokens, mask
 
-        state = csm_model.init_state(
-            self._cfg, 1, self._params["projection"].dtype, unstacked=self._unrolled
-        )
+        state = self._init_state(1)
         state = self._extend(
             self._params, state, jnp.asarray(tok_pad), jnp.asarray(msk_pad),
             jnp.array([S], jnp.int32),
@@ -254,10 +277,7 @@ class Generator:
             total = ctx_len + tokens.shape[0]
         else:
             tokens, mask = self._tokenize_prompt(text, speaker, context)
-            base_state = csm_model.init_state(
-                self._cfg, 1, self._params["projection"].dtype,
-                unstacked=self._unrolled,
-            )
+            base_state = self._init_state(1)
             total = tokens.shape[0]
 
         # the reference hard-fails whenever prompt + budget exceed 2048

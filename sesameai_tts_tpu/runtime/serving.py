@@ -79,10 +79,9 @@ class BatchedTTSServer:
         self.B = slots
         self.chunk = chunk_frames
         cfg = generator._cfg
-        dtype = generator._params["projection"].dtype
-        self._state = csm_model.init_state(
-            cfg, slots, dtype, unstacked=getattr(generator, "_unrolled", False)
-        )
+        # dp-sharded when the generator runs on a mesh: the slot pool's
+        # batch axis spreads across chips (multi-chip batched serving)
+        self._state = generator._init_state(slots)
         self._prev_frame = jnp.zeros((slots, cfg.audio_num_codebooks), jnp.int32)
         self._done = jnp.ones((slots,), bool)  # all slots idle (=done)
         self._budget = np.zeros(slots, np.int64)  # frames left per slot

@@ -75,6 +75,17 @@ _FALLBACK_PATTERN = (
 )
 
 
+def has_exact_pretokenizer() -> bool:
+    """True when the ``regex`` module (needed for the \\p classes in the
+    llama-3 pretokenizer pattern) is importable."""
+    try:
+        import regex  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
 @lru_cache(maxsize=1)
 def _pretokenizer():
     try:
@@ -89,7 +100,18 @@ def _pretokenizer():
 
 class NativeBPETokenizer:
     def __init__(self, path: str, bos_token: str = "<|begin_of_text|>",
-                 eos_token: str = "<|end_of_text|>"):
+                 eos_token: str = "<|end_of_text|>",
+                 require_exact_pretokenizer: bool = True):
+        # the `re` fallback pattern diverges from llama-3 pretokenization
+        # on non-ASCII text; callers that have an exact alternative
+        # (tokenizer/text.py prefers the Rust HFTokenizer then) must not
+        # get a silently-approximate encoder
+        if require_exact_pretokenizer and not has_exact_pretokenizer():
+            raise ImportError(
+                "the `regex` module is unavailable; NativeBPETokenizer would "
+                "fall back to an ASCII-approximate pretokenizer. Pass "
+                "require_exact_pretokenizer=False to accept the divergence."
+            )
         tok_file = path
         if os.path.isdir(path):
             tok_file = os.path.join(path, "tokenizer.json")

@@ -104,16 +104,39 @@ class HFTokenizer:
         return self._tok.decode(ids, skip_special_tokens=True)
 
 
-def load_llama3_tokenizer(path: str) -> "HFTokenizer":
+def _load_bpe(path: str) -> TextTokenizer:
+    """Exact-first tokenizer resolution for a real tokenizer.json:
+
+    1. native C++ BPE with the exact llama-3 pretokenizer (needs `regex`);
+    2. Rust-backed HFTokenizer (always exact);
+    3. native BPE with the ASCII-approximate `re` pretokenizer — last
+       resort only, with a loud warning (diverges on non-ASCII text).
+    """
+    from sesameai_tts_tpu.tokenizer.native_bpe import NativeBPETokenizer
+
+    try:
+        return NativeBPETokenizer(path)
+    except Exception:
+        pass
+    try:
+        return HFTokenizer(path)
+    except Exception:
+        import warnings
+
+        warnings.warn(
+            "neither the `regex` module nor the `tokenizers` package is "
+            "available: falling back to an ASCII-approximate pretokenizer "
+            "(tokenization diverges from Llama-3 on non-ASCII text)",
+            stacklevel=3,
+        )
+        return NativeBPETokenizer(path, require_exact_pretokenizer=False)
+
+
+def load_llama3_tokenizer(path: str) -> TextTokenizer:
     """Name-compatible loader (reference generator.py:24-38): the
     Llama-3.2 tokenizer with BOS…EOS wrapping, from a LOCAL
     tokenizer.json/model dir instead of the HF hub."""
-    try:
-        from sesameai_tts_tpu.tokenizer.native_bpe import NativeBPETokenizer
-
-        return NativeBPETokenizer(path)
-    except Exception:
-        return HFTokenizer(path)
+    return _load_bpe(path)
 
 
 def load_text_tokenizer(spec: str) -> TextTokenizer:
@@ -122,9 +145,4 @@ def load_text_tokenizer(spec: str) -> TextTokenizer:
         return ByteTokenizer()
     if spec == "tiny":
         return TinyHashTokenizer()
-    try:
-        from sesameai_tts_tpu.tokenizer.native_bpe import NativeBPETokenizer
-
-        return NativeBPETokenizer(spec)
-    except Exception:
-        return HFTokenizer(spec)
+    return _load_bpe(spec)

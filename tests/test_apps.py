@@ -162,8 +162,9 @@ def test_storyteller_app(tiny_tts, monkeypatch, tmp_path):
     )
     app = StorytellerApp(voice="v", model="local-default", tts=tiny_tts)
     outs = list(app.continue_story("begin the story", use_llm=True))
-    _, status, s, e, active = outs[-1]
+    _, status, s, e, active, replay = outs[-1]
     assert active and e - s == 2
+    assert replay is None  # nothing narrated yet — no replay
     assert "Once upon a time." in app.story_text
 
     drained = list(app.sentence_generator_loop(s, e, True, temperature=0.8, topk=5))
@@ -175,9 +176,15 @@ def test_storyteller_app(tiny_tts, monkeypatch, tmp_path):
     full = app.combine_full_story()
     assert full and os.path.exists(full)
 
-    # pasted-text mode bypasses the LLM
+    # pasted-text mode bypasses the LLM; continuation replays the audio
+    # narrated so far before the new sentences stream in (reference
+    # web_storyteller.py:102-126)
     outs2 = list(app.continue_story("Direct text here.", use_llm=False))
     assert outs2[-1][4] is True
+    sr, replay_pcm = outs2[-1][5]
+    assert sr == 24_000 and replay_pcm.dtype == np.float32
+    narrated = sum(len(c.samples) for g in app.prompt_audio_segments for c in g)
+    assert len(replay_pcm) == narrated > 0
 
 
 def test_duplex_respond(tiny_tts, monkeypatch):

@@ -134,3 +134,42 @@ def test_mimi_converter_roundtrip(tmp_path):
     out = mimi.decode(params, codes)
     assert out.shape == (1, 1, 4 * cfg.hop_length)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_mimi_converter_embedding_sum_variant(tmp_path):
+    """moshi version matrix: newer checkpoints store the EMA pair
+    ``_codebook.embedding_sum`` / ``_codebook.cluster_usage`` instead of
+    ``embedding`` (core/weights.py normalizes sum/usage)."""
+    from safetensors.numpy import save_file
+
+    cfg = mimi_test_tiny()
+    mimi = Mimi(cfg)
+    rng = np.random.default_rng(1)
+    sd = _synthetic_moshi_sd(mimi, rng)
+
+    expected_cbs = {}
+    for key in [k for k in sd if k.endswith("._codebook.embedding")]:
+        emb = sd.pop(key)
+        usage = rng.uniform(0.5, 4.0, size=emb.shape[0]).astype(np.float32)
+        sd[key + "_sum"] = emb * usage[:, None]
+        sd[key.replace(".embedding", ".cluster_usage")] = usage
+        # distractor buffers real checkpoints carry
+        sd[key.replace(".embedding", ".initialized")] = np.ones(1, np.float32)
+        expected_cbs[key] = emb
+
+    path = str(tmp_path / "mimi_sum.safetensors")
+    save_file(sd, path)
+    params = load_mimi_checkpoint(path, mimi)
+
+    r = cfg.rvq
+    for stage, prefix, n_q in (
+        ("semantic", "quantizer.rvq_first", r.n_q_semantic),
+        ("acoustic", "quantizer.rvq_rest", r.n_q_acoustic),
+    ):
+        got = np.asarray(params["quantizer"][stage]["codebooks"])
+        for i in range(n_q):
+            np.testing.assert_allclose(
+                got[i],
+                expected_cbs[f"{prefix}.vq.layers.{i}._codebook.embedding"],
+                rtol=1e-5,
+            )

@@ -50,6 +50,35 @@ def test_csm_checkpoint_from_torch_pt(tmp_path):
     )
 
 
+def test_csm_checkpoint_bf16_safetensors_and_dir(tmp_path):
+    """Published-layout hardening: a bf16 safetensors file (no numpy
+    dtype — loads via the torch backend), inside a model DIRECTORY, with
+    torch.compile's ``_orig_mod.`` key prefix."""
+    import torch
+    from safetensors.numpy import load_file
+    from safetensors.torch import save_file as save_torch
+
+    cfg = csm_test_tiny()
+    params = init_csm_params(jax.random.PRNGKey(2), cfg, jnp.float32)
+    st_path = str(tmp_path / "plain.safetensors")
+    save_csm_checkpoint(st_path, params)
+
+    model_dir = tmp_path / "csm-1b"
+    model_dir.mkdir()
+    sd_bf16 = {
+        f"_orig_mod.{k}": torch.from_numpy(v).bfloat16()
+        for k, v in load_file(st_path).items()
+    }
+    save_torch(sd_bf16, str(model_dir / "model.safetensors"))
+
+    loaded = load_csm_checkpoint(str(model_dir), cfg, jnp.float32)
+    np.testing.assert_allclose(
+        np.asarray(loaded["projection"]),
+        np.asarray(params["projection"]).astype(jnp.bfloat16).astype(np.float32),
+        rtol=1e-6,
+    )
+
+
 def test_orbax_pytree_roundtrip(tmp_path):
     params = {"a": jnp.arange(12.0).reshape(3, 4), "b": {"c": jnp.ones((2,))}}
     path = str(tmp_path / "ckpt")
