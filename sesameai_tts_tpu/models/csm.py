@@ -168,6 +168,16 @@ def _decode_codebooks(
     # inside the scan cost ~1 ms/frame of pure dispatch overhead)
     gumbels = jax.random.gumbel(key, (K - 1, B, cfg.audio_vocab_size), jnp.float32)
 
+    # logits = h @ audio_head[i] with f32 ACCUMULATION but native-dtype
+    # operands: an explicit astype(f32) on the bf16 head materializes an
+    # 8.4 MB f32 copy per codebook step (~260 MB/frame of pure HBM waste)
+    # and turns the MXU pass into slow f32; mixed bf16→f32 dots are native
+    def head_logits(h, head):
+        return jax.lax.dot_general(
+            h, head, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
     if unrolled:
         # fully unrolled micro-loop: the decoder trunk weights (per-layer
         # buffers) are re-read by all K-1 steps inside one program, which
@@ -179,7 +189,7 @@ def _decode_codebooks(
             emb = params["audio_embeddings"][prev_c + offsets[i]]
             x = (emb[:, None, :] @ params["projection"]).astype(dtype)
             h, cache = dec_step(cache, x, i + 1)
-            logits = h.astype(jnp.float32) @ ah[i].astype(jnp.float32)
+            logits = head_logits(h, ah[i])
             ci = sample_topk(None, logits, topk, temperature, gumbel=gumbels[i])
             cs_list.append(ci)
             prev_c = ci
@@ -193,7 +203,7 @@ def _decode_codebooks(
         h, cache = transformer_forward(
             params["decoder"], dec, x, jnp.full((B,), pos, jnp.int32), cache, rope_cs
         )
-        logits = (h[:, 0, :].astype(jnp.float32) @ head.astype(jnp.float32))
+        logits = head_logits(h[:, 0, :], head)
         ci = sample_topk(None, logits, topk, temperature, gumbel=g)
         return (cache, ci, pos + 1), ci
 
@@ -267,7 +277,12 @@ def generate_frame(
         new_pos = state.pos + valid_len
 
     k0, k_rest = jax.random.split(key)
-    c0_logits = last_h.astype(jnp.float32) @ params["codebook0_head"].astype(jnp.float32)
+    # mixed-precision dot (operands stay bf16, f32 accumulation) — see
+    # head_logits in _decode_codebooks for why astype(f32) is wrong here
+    c0_logits = jax.lax.dot_general(
+        last_h, params["codebook0_head"], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
     c0 = sample_topk(k0, c0_logits, topk, temperature)  # (B,)
 
     cs = _decode_codebooks(params, cfg, last_h, c0, k_rest, temperature, topk)

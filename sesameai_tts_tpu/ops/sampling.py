@@ -38,13 +38,13 @@ def topk_threshold(logits: jnp.ndarray, k: int, iters: int = 30) -> jnp.ndarray:
     # open the top bracket so count(>= hi) < k holds from the start
     hi = hi + 0.001 * (hi - lo) + 1e-6
 
-    def body(_, lohi):
-        lo, hi = lohi
+    # unrolled (iters is static): the CSM hot loop runs this 32×/frame
+    # inside one jitted program, and a lax loop pays per-iteration
+    # control overhead that straight-line scheduling does not
+    for _ in range(iters):
         mid = 0.5 * (lo + hi)
         enough = jnp.sum(logits >= mid, axis=-1, keepdims=True) >= k
-        return jnp.where(enough, mid, lo), jnp.where(enough, hi, mid)
-
-    lo, hi = jax.lax.fori_loop(0, iters, body, (lo, hi))
+        lo, hi = jnp.where(enough, mid, lo), jnp.where(enough, hi, mid)
     return lo
 
 

@@ -156,6 +156,55 @@ class Generator:
             ])
             return packed, frames[-1], done, state
 
+        @functools.partial(
+            jax.jit,
+            static_argnames=("num_frames",),
+            donate_argnames=("state", "mimi_state"),
+        )
+        def decode_mimi_packed(params, mimi_params, state, mimi_state, prev_frame,
+                               done, key, num_frames, temperature, topk):
+            """One fused chunk: AR decode + streaming Mimi + everything
+            the host needs in ONE int32 buffer (frames, valid, done, PCM
+            bitcast).  On this remote-attached TPU each fetch is a ~30 ms
+            round trip; streaming/serving previously paid 2-5 per chunk
+            (frames, then per-slot PCM) — this pays exactly one."""
+            frames, valid, done2, state = csm_model.decode_frames(
+                params, cfg, state, prev_frame, done, key, num_frames,
+                temperature, topk, rope_cs=self._rope,
+            )
+            codes = frames.transpose(1, 2, 0)  # (B, K, n)
+            wav, mimi_state = mimi.decode_streaming(mimi_params, codes, mimi_state)
+            # post-EOS frames are zeros: the codec state consumes them but
+            # their PCM is causal-downstream of the emitted prefix, which
+            # the host trims by the valid count (streaming == offline holds
+            # for everything emitted)
+            packed = jnp.concatenate([
+                frames.reshape(-1),
+                valid.astype(jnp.int32).reshape(-1),
+                done2.astype(jnp.int32).reshape(-1),
+                jax.lax.bitcast_convert_type(
+                    wav.astype(jnp.float32).reshape(-1), jnp.int32
+                ),
+            ])
+            return packed, frames[-1], done2, state, mimi_state
+
+        @functools.partial(jax.jit, donate_argnames=("mimi_state",))
+        def first_chunk(mimi_params, frame, done, mimi_state):
+            """First-audio path: decode the prefill frame through Mimi and
+            bundle (done, PCM) into one fetch — TTFA pays one round trip
+            after prefill, not three."""
+            wav, mimi_state = mimi.decode_streaming(
+                mimi_params, frame[:, :, None], mimi_state
+            )
+            packed = jnp.concatenate([
+                done.astype(jnp.int32).reshape(-1),
+                frame.reshape(-1),  # serving admission keeps the codes too
+                jax.lax.bitcast_convert_type(
+                    wav.astype(jnp.float32).reshape(-1), jnp.int32
+                ),
+            ])
+            return packed, mimi_state
+
         @jax.jit
         def extend(params, state, tokens, mask, valid_len):
             return csm_model.extend_state(
@@ -179,6 +228,8 @@ class Generator:
         self._extend = extend
         self._decode = decode
         self._decode_packed = decode_packed
+        self._decode_mimi_packed = decode_mimi_packed
+        self._first_chunk = first_chunk
         self._mimi_encode = mimi_encode
         self._mimi_decode = mimi_decode
         self._mimi_decode_stream = mimi_decode_stream
@@ -306,7 +357,9 @@ class Generator:
             jnp.float32(temperature), topk,
         )
         done = jnp.all(frame == 0, axis=-1)
-        jax.block_until_ready(frame)
+        # no sync here: callers overlap their next dispatch (first-chunk
+        # Mimi decode / admission scatter) with the prefill execution, so
+        # the metric records host prep + dispatch time
         self.metrics.record("prefill_s", time.perf_counter() - t_prefill)
         return frame, state, done, max_gen
 
@@ -338,32 +391,28 @@ class Generator:
         )
 
         mimi_state = self._mimi.init_decode_state(1, np.float32)
+        hop = self._hop
 
-        # frames stay ON DEVICE end-to-end: decode chunk → device slice →
-        # streaming Mimi decode; the host fetches only PCM (the product)
-        # and tiny valid/done flags. On remote-attached TPUs every fetch is
-        # a network round trip — the naive per-frame
-        # fetch→re-upload→fetch cycle costs 3 RTTs per 80 ms frame.
-        def flush(codes_dev):
-            nonlocal mimi_state
-            wav, mimi_state = self._mimi_decode_stream(
-                self._mimi_params, codes_dev, mimi_state
-            )
-            return wav  # device handle; fetched by the consumer loop
-
-        def emit(wav_dev):
-            chunk = np.asarray(wav_dev)
+        def emit(chunk):
             if on_chunk_generated:
                 on_chunk_generated(chunk)
             return chunk
 
-        if bool(done[0]):
+        # Everything rides fused device programs (decode + streaming Mimi
+        # + packed results): ONE ~30 ms round trip per chunk on this
+        # remote-attached TPU, where the old frames-then-PCM cycle paid
+        # one per emitted group plus one per chunk.
+        # First audio: prefill frame → (done, PCM) in a single fetch.
+        packed0, mimi_state = self._first_chunk(
+            self._mimi_params, frame, done, mimi_state
+        )
+        arr0 = np.asarray(packed0)
+        if bool(arr0[0]):
             return
 
         K = self._cfg.audio_num_codebooks
         emitted = 1
-        # first audio: the prefill frame alone (TTFA = prefill + 1 frame)
-        yield emit(flush(frame[:, :, None]))  # (B, K, 1)
+        yield emit(arr0[1 + K :].view(np.float32))
 
         done_host = False
         while emitted < max_gen and not done_host:
@@ -371,24 +420,20 @@ class Generator:
             # program mid-stream (minutes on a remote compile service);
             # overshoot frames are simply not emitted
             n = self._decode_chunk_frames
-            packed, frame, done, state = self._decode_packed(
-                self._params, state, frame, done, self._next_key(), n,
-                jnp.float32(temperature), topk,
+            packed, frame, done, state, mimi_state = self._decode_mimi_packed(
+                self._params, self._mimi_params, state, mimi_state, frame, done,
+                self._next_key(), n, jnp.float32(temperature), topk,
             )
-            # ONE host fetch per chunk gives frames+valid+done together;
-            # codec input slices come from the device-resident packed buffer
             arr = np.asarray(packed)
             valid_np = arr[n * K : n * K + n].astype(bool)
-            done_host = bool(arr[-1])
-            n_valid = int(valid_np.sum())
+            done_host = bool(arr[n * K + n])
+            n_valid = int(valid_np.sum())  # valid frames are a prefix
             n_take = min(n_valid, max_gen - emitted)
-            frames_dev = packed[: n * K].reshape(n, 1, K)
-            # emit groups sliced on device (python slices → fixed shapes,
-            # at most `chunk_frames` distinct compiled group sizes)
+            wav_np = arr[n * K + n + 1 :].view(np.float32)
+            # emission granularity is host-side slicing of fetched PCM
             for start in range(0, n_take, chunk_frames):
                 g = min(chunk_frames, n_take - start)
-                codes = frames_dev[start : start + g].transpose(1, 2, 0)  # (B,K,g)
-                yield emit(flush(codes))
+                yield emit(wav_np[start * hop : (start + g) * hop])
             emitted += n_take
 
     def generate(

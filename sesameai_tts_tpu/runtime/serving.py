@@ -4,11 +4,12 @@ KV caches.
 The reference serves one request at a time (batch hardcoded 1,
 reference generator.py:47; SURVEY.md §2.3 DP row) — web concurrency is
 just a gradio queue.  This engine decodes B sessions per backbone step
-(BASELINE config 5): a slot pool backed by ONE batched ``CSMState``;
-admissions prefill at B=1 and are scattered into their slot; every
-scheduler tick runs one chunked ``decode_frames`` over all slots (ready
-slots carry ``done``), and each slot's frames stream through its own
-Mimi decode state.
+(BASELINE config 5): a slot pool backed by ONE batched ``CSMState`` and
+ONE batched Mimi decode state; admissions prefill at B=1 and are
+scattered into their slot; every scheduler tick runs a single fused
+program — chunked ``decode_frames`` over all slots plus batched
+streaming Mimi decode — and fetches frames, flags and PCM in one packed
+buffer (one ~30 ms remote round trip per tick).
 
 Throughput scales ~linearly with occupied slots until the MXU saturates,
 because the AR decode is weight-bandwidth-bound: the same weight reads
@@ -88,7 +89,10 @@ class BatchedTTSServer:
         self._temperature = np.ones(slots, np.float32)
         self._topk = np.ones(slots, np.int32)
         self._sessions: List[Optional[Session]] = [None] * slots
-        self._mimi_states: List = [None] * slots
+        # ONE batched Mimi decode state: every tick runs codec decode for
+        # all B slots in the same fused program as the AR decode (idle
+        # slots chew zero frames — harmless, reset on attach)
+        self._mimi_state = generator._mimi.init_decode_state(slots, np.float32)
         self._pending: "queue.Queue[Session]" = queue.Queue()
         # prefilled sessions awaiting a slot: (session, frame, state1, done1, max_gen)
         self._ready: "queue.Queue[tuple]" = queue.Queue()
@@ -125,7 +129,38 @@ class BatchedTTSServer:
         def mark_done(done, slot):
             return done.at[slot].set(True)
 
+        from sesameai_tts_tpu.codec.mimi import Mimi
+
+        @functools.partial(jax.jit, donate_argnums=(0,))
+        def scatter_mimi(batched: Mimi.DecodeState, single: Mimi.DecodeState,
+                         slot):
+            """Reset slot `slot`'s codec state to an admitted session's
+            (post-first-frame) state.  Mimi state leaves batch on axis 0
+            (conv buffers, tf_pos) or axis 1 (codec KV cache: (L, B, ...))."""
+            s32 = jnp.asarray(slot, jnp.int32)
+            z = jnp.int32(0)
+
+            def ax0(b, s):
+                return jax.lax.dynamic_update_slice(
+                    b, s.astype(b.dtype), (s32,) + (z,) * (b.ndim - 1)
+                )
+
+            def ax1(b, s):
+                return jax.lax.dynamic_update_slice(
+                    b, s.astype(b.dtype), (z, s32) + (z,) * (b.ndim - 2)
+                )
+
+            return Mimi.DecodeState(
+                upsample=jax.tree.map(ax0, batched.upsample, single.upsample),
+                tf_cache=jax.tree.map(ax1, batched.tf_cache, single.tf_cache),
+                tf_pos=jax.lax.dynamic_update_slice(
+                    batched.tf_pos, single.tf_pos, (s32,)
+                ),
+                seanet=jax.tree.map(ax0, batched.seanet, single.seanet),
+            )
+
         self._scatter_slot = scatter_slot
+        self._scatter_mimi = scatter_mimi
         self._mark_done = mark_done
 
     # -- public API -----------------------------------------------------------
@@ -153,6 +188,7 @@ class BatchedTTSServer:
 
     def _admission_loop(self):
         gen = self.gen
+        K = gen._cfg.audio_num_codebooks
         while self._running:
             try:
                 session = self._pending.get(timeout=0.05)
@@ -164,54 +200,55 @@ class BatchedTTSServer:
                     session.text, session.speaker, list(session.context), None,
                     max_gen, session.temperature, session.topk,
                 )
+                # the prefill frame's PCM decodes here (B=1 state, scattered
+                # into the batched codec state at attach); (done, frame,
+                # PCM) arrive in one fetch — the only host sync on admission
+                ms1 = gen._mimi.init_decode_state(1, np.float32)
+                packed0, ms1 = gen._first_chunk(gen._mimi_params, frame, done1, ms1)
+                arr0 = np.asarray(packed0)
             except Exception as e:
                 session.error = e
                 session.chunks.put(None)
                 continue
-            done1_np = bool(np.asarray(done1)[0])  # host sync here, not in tick
-            self._ready.put((session, frame, state1, done1_np, max_gen))
+            done1_np = bool(arr0[0])
+            frame_np = arr0[1 : 1 + K].reshape(1, K)
+            wav0 = arr0[1 + K :].view(np.float32)
+            self._ready.put(
+                (session, frame, state1, done1_np, max_gen, frame_np, wav0, ms1)
+            )
 
     def _attach(self, slot: int, item) -> None:
         """Scatter a prefilled session into an idle slot (tick thread)."""
-        session, frame, state1, done1_np, max_gen = item
+        session, frame, state1, done1_np, max_gen, frame_np, wav0, ms1 = item
         self._state, self._prev_frame, self._done = self._scatter_slot(
             self._state, state1, frame, jnp.asarray([done1_np]),
             self._prev_frame, self._done, jnp.int32(slot),
         )
+        self._mimi_state = self._scatter_mimi(self._mimi_state, ms1, slot)
         self._sessions[slot] = session
         self._budget[slot] = max_gen - 1
         self._temperature[slot] = session.temperature
         self._topk[slot] = session.topk
-        self._mimi_states[slot] = self.gen._mimi.init_decode_state(1, np.float32)
         # the prefill frame is the first audio frame (if not EOS)
         if not done1_np:
-            self._emit(slot, np.asarray(frame))
+            self._emit(slot, frame_np, wav0)
         if done1_np or self._budget[slot] <= 0:
             self._finish(slot)
 
-    def _emit(self, slot: int, frames: np.ndarray):
-        """frames: (n, K) — stream-decode through the slot's Mimi state.
-
-        Mimi decode compiles once per distinct frame count; counts are
-        bounded by chunk_frames (+1 for the admit path), so at most
-        ~chunk_frames programs, all cached after warm-up."""
+    def _emit(self, slot: int, frames: np.ndarray, pcm: np.ndarray):
+        """frames: (n, K) codes, pcm: (n*hop,) — both already on host (the
+        fused tick program decoded the PCM)."""
         session = self._sessions[slot]
         if session is None or frames.shape[0] == 0:
             return
-        gen = self.gen
-        codes = jnp.asarray(frames.T[None])  # (1, K, n)
-        wav, self._mimi_states[slot] = gen._mimi_decode_stream(
-            gen._mimi_params, codes, self._mimi_states[slot]
-        )
         session.frames_out.append(frames)
-        session.chunks.put(np.asarray(wav))
+        session.chunks.put(pcm)
 
     def _finish(self, slot: int):
         session = self._sessions[slot]
         if session is not None:
             session.chunks.put(None)
         self._sessions[slot] = None
-        self._mimi_states[slot] = None
         self._done = self._mark_done(self._done, jnp.int32(slot))
         self._budget[slot] = 0
 
@@ -255,17 +292,22 @@ class BatchedTTSServer:
                 return
 
             n = int(min(self.chunk, max(self._budget.max(), 1)))
-            packed, self._prev_frame, self._done, self._state = gen._decode_packed(
-                gen._params, self._state, self._prev_frame, self._done,
-                gen._next_key(), n,
+            hop = gen._hop
+            # ONE fused program (AR decode + batched Mimi for all slots) and
+            # ONE fetch per tick — remote-TPU round trips are ~30 ms and the
+            # old per-slot Mimi dispatch/fetch cycle dominated tick time
+            (packed, self._prev_frame, self._done, self._state,
+             self._mimi_state) = gen._decode_mimi_packed(
+                gen._params, gen._mimi_params, self._state, self._mimi_state,
+                self._prev_frame, self._done, gen._next_key(), n,
                 jnp.asarray(self._temperature), jnp.asarray(self._topk),
             )
-            # one fetch per tick (remote-TPU round trips are ~40 ms)
             B, K = self.B, gen._cfg.audio_num_codebooks
             arr = np.asarray(packed)
             frames_np = arr[: n * B * K].reshape(n, B, K)
             valid_np = arr[n * B * K : n * B * K + n * B].reshape(n, B).astype(bool)
-            done_np = arr[-B:].astype(bool)
+            done_np = arr[n * B * K + n * B : n * B * K + n * B + B].astype(bool)
+            pcm_np = arr[n * B * K + n * B + B :].view(np.float32).reshape(B, n * hop)
 
             for slot in range(self.B):
                 if self._sessions[slot] is None:
@@ -276,7 +318,12 @@ class BatchedTTSServer:
                 # the listener
                 take = int(min(self._budget[slot], n))
                 vmask = valid_np[:take, slot]
-                self._emit(slot, frames_np[:take, slot][vmask])
+                n_emit = int(vmask.sum())  # valid frames are a prefix
+                self._emit(
+                    slot,
+                    frames_np[:take, slot][vmask],
+                    pcm_np[slot, : n_emit * hop],
+                )
                 self._budget[slot] -= n
                 if done_np[slot] or self._budget[slot] <= 0:
                     self._finish(slot)
