@@ -41,8 +41,68 @@ def is_quantized(w) -> bool:
     return isinstance(w, dict) and "q" in w
 
 
+def is_quantized4(w) -> bool:
+    return isinstance(w, dict) and "q4" in w
+
+
 def _dequant(w: dict, dtype=jnp.bfloat16) -> jnp.ndarray:
     return (w["q"].astype(jnp.float32) * w["scale"][..., None, :]).astype(dtype)
+
+
+# ---------------------------------------------------------------------------
+# int4 (group-wise) weight-only quantization
+#
+# Half the bytes of int8 again — the AR decode is pure weight streaming,
+# so int4 moves the roofline ~2× on the trunks.  Group-wise scales
+# (default 128 input rows per group, the standard near-lossless serving
+# recipe) keep quantization error far below per-channel int4.
+#
+# Packing: two nibbles per int8 byte, SPLIT-HALF layout — byte[d, f]
+# holds row d (low nibble) and row d + D/2 (high nibble).  The kernel
+# then computes x_lo @ W_lo + x_hi @ W_hi without any interleaving.
+# ---------------------------------------------------------------------------
+
+
+def quantize_weight_int4(w: jnp.ndarray, group: int = 128) -> dict:
+    """(in, out) float → {"q4": int8 (in/2, out) packed nibbles,
+    "scale": f32 (in/group, out)}."""
+    wf = jnp.asarray(w, jnp.float32)
+    D, F = wf.shape
+    assert D % (2 * group) == 0, f"in-dim {D} not divisible by 2*group={2*group}"
+    G = D // group
+    gw = wf.reshape(G, group, F)
+    scale = jnp.max(jnp.abs(gw), axis=1) / 7.0  # (G, F)
+    scale = jnp.maximum(scale, 1e-8)
+    q = jnp.clip(
+        jnp.round(gw / scale[:, None, :]), -8, 7
+    ).astype(jnp.int8).reshape(D, F)
+    lo, hi = q[: D // 2], q[D // 2 :]
+    packed = jnp.bitwise_or(
+        jnp.bitwise_and(lo, jnp.int8(0x0F)),
+        jnp.left_shift(hi, 4).astype(jnp.int8),
+    )
+    return {"q4": packed, "scale": scale}
+
+
+def _unpack_int4(packed: jnp.ndarray):
+    """(D/2, F) packed → (lo (D/2, F), hi (D/2, F)) int8 in [-8, 7]."""
+    lo = jnp.bitwise_and(packed, jnp.int8(0x0F))
+    lo = jnp.bitwise_xor(lo, jnp.int8(8)) - jnp.int8(8)  # sign-extend nibble
+    hi = jnp.right_shift(packed, 4)  # arithmetic shift on signed int8
+    return lo, hi
+
+
+def _dequant4(w: dict, dtype=jnp.bfloat16) -> jnp.ndarray:
+    lo, hi = _unpack_int4(w["q4"])
+    q = jnp.concatenate([lo, hi], axis=0).astype(jnp.float32)  # (D, F)
+    G, F = w["scale"].shape
+    D = q.shape[0]
+    group = D // G
+    return (
+        (q.reshape(G, group, F) * w["scale"][:, None, :])
+        .reshape(D, F)
+        .astype(dtype)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -90,20 +150,106 @@ def quant_matmul_pallas(x: jnp.ndarray, q: jnp.ndarray, scale: jnp.ndarray,
     )(x, q, scale.reshape(1, F))
 
 
-def _block_f_for(F: int) -> int:
-    for b in (512, 256, 128):
-        if F % b == 0:
+def _q4mv_kernel_factory(D: int, G: int):
+    """Kernel over one F tile: unpack nibbles in VMEM, per-group partial
+    dots, scale, accumulate.  D/G static (from the weight shapes)."""
+    D2 = D // 2
+    group = D // G
+    G2 = G // 2  # groups per packed half
+
+    def kernel(x_ref, q_ref, s_ref, o_ref):
+        # Mosaic cannot legalize int8 vector arithmetic (arith.subi on i8);
+        # widen to i32 for the nibble unpack, then straight to bf16
+        q = q_ref[:].astype(jnp.int32)  # (D2, bf) two nibbles per byte
+        lo = (jnp.bitwise_xor(jnp.bitwise_and(q, 0x0F), 8) - 8).astype(jnp.bfloat16)
+        hi = jnp.right_shift(q, 4).astype(jnp.bfloat16)  # i32 sign-extends
+        x = x_ref[:]  # (S, D) bf16
+        acc = jnp.zeros(o_ref.shape, jnp.float32)
+        for g in range(G2):
+            sl = slice(g * group, (g + 1) * group)
+            p_lo = jax.lax.dot(
+                x[:, sl], lo[sl], preferred_element_type=jnp.float32
+            )
+            p_hi = jax.lax.dot(
+                x[:, D2 + g * group : D2 + (g + 1) * group], hi[sl],
+                preferred_element_type=jnp.float32,
+            )
+            acc = acc + p_lo * s_ref[g] + p_hi * s_ref[G2 + g]
+        o_ref[:] = acc.astype(o_ref.dtype)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("block_f",))
+def quant4_matmul_pallas(x: jnp.ndarray, q4: jnp.ndarray, scale: jnp.ndarray,
+                         block_f: int = 512) -> jnp.ndarray:
+    """x (S, D) @ dequant4(q4 (D/2, F), scale (G, F)) → (S, F) in x.dtype."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    S, D = x.shape
+    D2, F = q4.shape
+    G = scale.shape[0]
+    assert D == 2 * D2 and G % 2 == 0
+    nf = F // block_f
+    assert nf * block_f == F
+
+    return pl.pallas_call(
+        _q4mv_kernel_factory(D, G),
+        grid=(nf,),
+        in_specs=[
+            pl.BlockSpec((S, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((D2, block_f), lambda i: (0, i), memory_space=pltpu.VMEM),
+            pl.BlockSpec((G, block_f), lambda i: (0, i), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((S, block_f), lambda i: (0, i), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((S, F), x.dtype),
+    )(x, q4, scale)
+
+
+import os
+
+# F-tile sizing: bigger tiles → fewer grid steps and larger DMA bursts,
+# bounded by VMEM (tile + its double buffer must fit alongside x).
+# Overridable for kernel experiments without editing call sites.
+_VMEM_TILE_BUDGET = int(os.environ.get("QUANT_TILE_BUDGET_BYTES", 4 * 2**20))
+
+
+def _block_f_for(F: int, D: int = 0, itemsize: int = 1) -> int:
+    cap = _VMEM_TILE_BUDGET // max(D * itemsize, 1) if D else 512
+    for b in (2048, 1024, 512, 256, 128):
+        if b <= cap and F % b == 0:
             return b
     return 0
 
 
 def qdot(x: jnp.ndarray, w: Union[jnp.ndarray, dict]) -> jnp.ndarray:
-    """Matmul against a maybe-quantized weight.
+    """Matmul against a maybe-quantized weight (int8 or packed int4).
 
     Small-S (decode) on TPU → Pallas dequant kernel; otherwise dequant +
     plain dot (compute-bound regime / CPU tests).
     x: (..., in); w: (in, out) array or quant dict.
     """
+    if is_quantized4(w):
+        lead = x.shape[:-1]
+        D = x.shape[-1]
+        F = w["q4"].shape[-1]
+        S = int(np.prod(lead)) if lead else 1
+        use_pallas = (
+            S <= 64
+            and D >= 256
+            and F >= 512
+            and jax.default_backend() not in ("cpu",)
+            and _block_f_for(F, D // 2) > 0
+        )
+        if use_pallas:
+            out = quant4_matmul_pallas(
+                x.reshape(S, D).astype(jnp.bfloat16), w["q4"], w["scale"],
+                block_f=_block_f_for(F, D // 2),
+            )
+            return out.reshape(*lead, F).astype(x.dtype)
+        return x @ _dequant4(w, x.dtype)
+
     if not is_quantized(w):
         return x @ w
 
@@ -116,11 +262,11 @@ def qdot(x: jnp.ndarray, w: Union[jnp.ndarray, dict]) -> jnp.ndarray:
         and D >= 128  # tiny test shapes trip Mosaic tile constraints
         and F >= 512
         and jax.default_backend() not in ("cpu",)
-        and _block_f_for(F) > 0
+        and _block_f_for(F, D) > 0
     )
     if use_pallas:
         out = quant_matmul_pallas(
-            x.reshape(S, D), w["q"], w["scale"], block_f=_block_f_for(F)
+            x.reshape(S, D), w["q"], w["scale"], block_f=_block_f_for(F, D)
         )
         return out.reshape(*lead, F)
     return x @ _dequant(w, x.dtype)
@@ -133,20 +279,32 @@ def qdot(x: jnp.ndarray, w: Union[jnp.ndarray, dict]) -> jnp.ndarray:
 _TRUNK_QUANT_KEYS = ("qkv", "o_proj", "w13", "w2")
 
 
-def quantize_trunk(trunk_params: dict) -> dict:
+def quantize_trunk(trunk_params: dict, bits: int = 8, group: int = 128) -> dict:
     out = {"layers": dict(trunk_params["layers"]), "final_norm": trunk_params["final_norm"]}
     for k in _TRUNK_QUANT_KEYS:
-        out["layers"][k] = quantize_weight(trunk_params["layers"][k])
+        w = trunk_params["layers"][k]
+        if bits == 4:
+            # stacked (L, in, out) → vmap the per-matrix int4 packer
+            if w.ndim == 3:
+                out["layers"][k] = jax.vmap(
+                    lambda m: quantize_weight_int4(m, group)
+                )(w)
+            else:
+                out["layers"][k] = quantize_weight_int4(w, group)
+        else:
+            out["layers"][k] = quantize_weight(w)
     return out
 
 
-def quantize_csm(params: dict, backbone: bool = True, decoder: bool = True) -> dict:
+def quantize_csm(
+    params: dict, backbone: bool = True, decoder: bool = True, bits: int = 8
+) -> dict:
     """Quantize the trunks; embeddings and the small per-frame heads
     (codebook0_head, audio_head, projection) stay bf16 — their traffic
-    is ~2% of the trunks'."""
+    is ~2% of the trunks'.  ``bits=4`` uses group-128 int4 packing."""
     out = dict(params)
     if backbone:
-        out["backbone"] = quantize_trunk(params["backbone"])
+        out["backbone"] = quantize_trunk(params["backbone"], bits)
     if decoder:
-        out["decoder"] = quantize_trunk(params["decoder"])
+        out["decoder"] = quantize_trunk(params["decoder"], bits)
     return out

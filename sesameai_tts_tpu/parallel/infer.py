@@ -44,9 +44,14 @@ def _scale_spec(wspec: P) -> P:
 
 def _leaf_specs(spec: P, leaf) -> object:
     """Match a weight spec to the actual leaf: quantized leaves are
-    ``{"q","scale"}`` dicts whose q keeps the weight layout."""
+    ``{"q","scale"}`` / ``{"q4","scale"}`` dicts.  int8 q keeps the weight
+    layout; packed int4 leaves are REPLICATED — the nibble packing pairs
+    row d with row d+D/2, which a row-shard would split across devices
+    (int4 is the single-chip bandwidth play; use int8 with TP)."""
     if is_quantized(leaf):
         return {"q": spec, "scale": _scale_spec(spec)}
+    if isinstance(leaf, dict) and "q4" in leaf:
+        return {"q4": P(), "scale": P()}
     return spec
 
 

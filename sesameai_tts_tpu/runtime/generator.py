@@ -97,6 +97,9 @@ class Generator:
         self._cfg = csm_cfg
         self._mimi = mimi
         self._mimi_params = mimi_params
+        # codec states must match the codec param dtype (bf16 flagship:
+        # convs at full MXU rate; PCM leaves every program as f32)
+        self._mimi_dtype = jax.tree.leaves(mimi_params)[0].dtype
         self.sample_rate = mimi.cfg.sample_rate
         self._hop = mimi.cfg.hop_length
         self._stream_chunk_frames = stream_chunk_frames
@@ -216,13 +219,13 @@ class Generator:
             return mimi.encode(params, wav)[0]
 
         @jax.jit
-        def mimi_decode(params, codes):  # (1, K, F) → (T,)
-            return mimi.decode(params, codes)[0, 0]
+        def mimi_decode(params, codes):  # (1, K, F) → (T,) f32
+            return mimi.decode(params, codes)[0, 0].astype(jnp.float32)
 
         @functools.partial(jax.jit, donate_argnames=("state",))
         def mimi_decode_stream(params, codes, state):
             wav, state = mimi.decode_streaming(params, codes, state)
-            return wav[0, 0], state
+            return wav[0, 0].astype(jnp.float32), state
 
         self._prefill = prefill
         self._extend = extend
@@ -390,7 +393,7 @@ class Generator:
             text, speaker, context, cached_context, max_gen, temperature, topk
         )
 
-        mimi_state = self._mimi.init_decode_state(1, np.float32)
+        mimi_state = self._mimi.init_decode_state(1, self._mimi_dtype)
         hop = self._hop
 
         def emit(chunk):
@@ -517,9 +520,20 @@ class Generator:
                 break
             prev_packed = packed
 
+        # ONE fetch for all chunks: concatenating the device-resident packed
+        # buffers is a single cheap XLA op, and each np.asarray here is a
+        # ~30 ms network round trip on this remote-attached TPU
+        if device_chunks:
+            arr_all = np.asarray(
+                jnp.concatenate([p for p, _ in device_chunks])
+                if len(device_chunks) > 1
+                else device_chunks[0][0]
+            )
         budget = max_gen - 1  # frames allowed after the prefill frame
-        for packed, n in device_chunks:
-            arr = np.asarray(packed)
+        off = 0
+        for _, n in device_chunks:
+            arr = arr_all[off : off + n * K + n + 1]
+            off += n * K + n + 1
             frames_np = arr[: n * K].reshape(n, K)
             valid_np = arr[n * K : n * K + n].astype(bool)
             take = min(budget, n)

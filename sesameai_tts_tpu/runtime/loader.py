@@ -36,8 +36,9 @@ class ModelSpec:
     csm_checkpoint: Optional[str] = None  # None → random init
     mimi_checkpoint: Optional[str] = None
     dtype: jnp.dtype = jnp.bfloat16
+    mimi_dtype: jnp.dtype = jnp.float32  # codec params/activations
     seed: int = 0
-    quantize: Optional[str] = None  # None | 'int8' (weight-only trunks)
+    quantize: Optional[str] = None  # None | 'int8' | 'int4' (weight-only trunks)
 
 
 def csm_1b_spec(
@@ -48,12 +49,14 @@ def csm_1b_spec(
 ) -> ModelSpec:
     """Flagship spec. Weight-only int8 trunks are the default serving
     dtype — measured ~2× faster per-parameter streaming with near-lossless
-    per-channel quantization; pass ``quantize=None`` for pure bf16."""
+    per-channel quantization; pass ``quantize=None`` for pure bf16.
+    The Mimi codec runs bf16 (convs hit the MXU at full rate; PCM is
+    produced in f32)."""
     return ModelSpec(
         csm=csm_1b(), mimi=MimiConfig(),
         tokenizer=tokenizer,
         csm_checkpoint=csm_checkpoint, mimi_checkpoint=mimi_checkpoint,
-        quantize=quantize,
+        quantize=quantize, mimi_dtype=jnp.bfloat16,
     )
 
 
@@ -83,10 +86,13 @@ def build_generator(spec: ModelSpec, **gen_kwargs) -> Generator:
     else:
         csm_params = init_csm_params(k_csm, spec.csm, spec.dtype)
 
-    if spec.quantize == "int8":
+    if spec.quantize in ("int8", "int4"):
         from sesameai_tts_tpu.ops.quant import quantize_csm
 
-        csm_params = jax.jit(quantize_csm)(csm_params)
+        bits = 4 if spec.quantize == "int4" else 8
+        csm_params = jax.jit(
+            lambda p: quantize_csm(p, bits=bits)
+        )(csm_params)
 
     # num_codebooks must agree between model and codec
     assert spec.mimi.num_codebooks == spec.csm.audio_num_codebooks
@@ -95,9 +101,11 @@ def build_generator(spec: ModelSpec, **gen_kwargs) -> Generator:
     if spec.mimi_checkpoint:
         from sesameai_tts_tpu.core.weights import load_pytree
 
-        mimi_params = load_pytree(spec.mimi_checkpoint, like=mimi.init(k_mimi, jnp.float32))
+        mimi_params = load_pytree(
+            spec.mimi_checkpoint, like=mimi.init(k_mimi, spec.mimi_dtype)
+        )
     else:
-        mimi_params = mimi.init(k_mimi, jnp.float32)
+        mimi_params = mimi.init(k_mimi, spec.mimi_dtype)
 
     tokenizer = load_text_tokenizer(spec.tokenizer)
     return Generator(csm_params, spec.csm, mimi, mimi_params, tokenizer, **gen_kwargs)

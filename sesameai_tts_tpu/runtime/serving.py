@@ -92,7 +92,9 @@ class BatchedTTSServer:
         # ONE batched Mimi decode state: every tick runs codec decode for
         # all B slots in the same fused program as the AR decode (idle
         # slots chew zero frames — harmless, reset on attach)
-        self._mimi_state = generator._mimi.init_decode_state(slots, np.float32)
+        self._mimi_state = generator._mimi.init_decode_state(
+            slots, generator._mimi_dtype
+        )
         self._pending: "queue.Queue[Session]" = queue.Queue()
         # prefilled sessions awaiting a slot: (session, frame, state1, done1, max_gen)
         self._ready: "queue.Queue[tuple]" = queue.Queue()
@@ -203,7 +205,7 @@ class BatchedTTSServer:
                 # the prefill frame's PCM decodes here (B=1 state, scattered
                 # into the batched codec state at attach); (done, frame,
                 # PCM) arrive in one fetch — the only host sync on admission
-                ms1 = gen._mimi.init_decode_state(1, np.float32)
+                ms1 = gen._mimi.init_decode_state(1, gen._mimi_dtype)
                 packed0, ms1 = gen._first_chunk(gen._mimi_params, frame, done1, ms1)
                 arr0 = np.asarray(packed0)
             except Exception as e:

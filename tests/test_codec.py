@@ -221,3 +221,29 @@ def test_mimi_streaming_encode_matches_offline(mimi):
         outs.append(codes)
     streamed = jnp.concatenate(outs, axis=-1)
     np.testing.assert_array_equal(np.asarray(streamed), np.asarray(full))
+
+
+def test_mimi_bf16_decode_close_to_f32(mimi):
+    """The flagship spec runs the codec in bf16 (loader mimi_dtype);
+    decode must stay finite and close to the f32 reference, and the
+    streaming==offline property must hold in bf16 too."""
+    m, p32 = mimi
+    p16 = jax.tree.map(lambda a: a.astype(jnp.bfloat16), p32)
+    codes = jax.random.randint(
+        jax.random.PRNGKey(3), (1, m.cfg.num_codebooks, 8), 0,
+        m.cfg.rvq.bins,
+    )
+    w32 = np.asarray(m.decode(p32, codes), np.float32)
+    w16 = np.asarray(m.decode(p16, codes).astype(jnp.float32))
+    assert np.isfinite(w16).all()
+    scale = np.abs(w32).max() + 1e-6
+    assert np.abs(w16 - w32).max() / scale < 0.1  # bf16-grade agreement
+
+    st = m.init_decode_state(1, jnp.bfloat16)
+    w_a, st = m.decode_streaming(p16, codes[:, :, :5], st)
+    w_b, st = m.decode_streaming(p16, codes[:, :, 5:], st)
+    stream = np.concatenate(
+        [np.asarray(w_a.astype(jnp.float32)), np.asarray(w_b.astype(jnp.float32))],
+        axis=-1,
+    )
+    np.testing.assert_allclose(stream, w16, atol=2e-2)

@@ -64,3 +64,88 @@ def test_quantized_csm_generates():
     )
     agree = (f == np.asarray(f_d)).mean()
     assert agree >= 0.5, f"quantized greedy diverged too much: {agree}"
+
+
+def test_int4_pack_roundtrip_and_accuracy():
+    from sesameai_tts_tpu.ops.quant import _dequant4, quantize_weight_int4
+
+    w = jax.random.normal(jax.random.PRNGKey(4), (256, 128)) * 0.05
+    q4 = quantize_weight_int4(w, group=64)
+    assert q4["q4"].shape == (128, 128) and q4["q4"].dtype == jnp.int8
+    assert q4["scale"].shape == (4, 128)
+    deq = _dequant4(q4, jnp.float32)
+    # int4 group-wise: error bounded by scale/2 = max|group|/14
+    err = np.asarray(jnp.abs(deq - w))
+    bound = np.asarray(q4["scale"] / 2.0)[:, None, :].repeat(64, axis=1).reshape(256, 128)
+    assert (err <= bound + 1e-6).all()
+    rel = float(err.max() / jnp.abs(w).max())
+    assert rel < 0.12  # ~7x coarser than int8, still small vs weight scale
+
+
+def test_int4_qdot_matches_dense():
+    from sesameai_tts_tpu.ops.quant import quantize_weight_int4
+
+    w = jax.random.normal(jax.random.PRNGKey(5), (512, 256)) * 0.05
+    x = jax.random.normal(jax.random.PRNGKey(6), (2, 512))
+    ref = np.asarray(x @ w)
+    out = np.asarray(qdot(x, quantize_weight_int4(w, group=128)))
+    # int4 error accumulates ~sqrt(D)·(scale/sqrt(12)) per output; on these
+    # random weights that is ~12% of the output std at the max, ~3% rms
+    # per-element noise sigma = scale/sqrt(12) ~ 0.12*w_sigma for gaussian
+    # weights with max-based group scales (~19 dB weight SNR); output rms
+    # error is that same ratio of the output std, max ~3.5 sigma above it
+    denom = ref.std()
+    assert np.abs(out - ref).max() / denom < 0.5
+    assert np.sqrt(((out - ref) ** 2).mean()) / denom < 0.15
+
+
+def test_int4_csm_generates_and_matches_int8_mostly():
+    from sesameai_tts_tpu.core.config import csm_test_tiny
+    from sesameai_tts_tpu.models.csm import generate_frame, init_csm_params, init_state
+    from sesameai_tts_tpu.ops.quant import is_quantized4
+
+    cfg = csm_test_tiny()
+    K = cfg.audio_num_codebooks
+    params = init_csm_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    # tiny dims (64) need a smaller group: quantize by hand with group=16
+    from sesameai_tts_tpu.ops.quant import quantize_weight_int4
+
+    q4params = dict(params)
+    for trunk in ("backbone", "decoder"):
+        layers = dict(params[trunk]["layers"])
+        for k in ("qkv", "o_proj", "w13", "w2"):
+            layers[k] = jax.vmap(lambda m: quantize_weight_int4(m, 16))(layers[k])
+        q4params[trunk] = {"layers": layers, "final_norm": params[trunk]["final_norm"]}
+    assert is_quantized4(q4params["backbone"]["layers"]["qkv"])
+
+    rng = np.random.default_rng(0)
+    tokens = np.zeros((1, 6, K + 1), np.int32)
+    mask = np.zeros((1, 6, K + 1), bool)
+    tokens[0, :, K] = rng.integers(0, cfg.text_vocab_size, 6)
+    mask[0, :, K] = True
+
+    f4, _ = generate_frame(
+        q4params, cfg, init_state(cfg, 1, jnp.float32),
+        jnp.asarray(tokens), jnp.asarray(mask), jax.random.PRNGKey(1), 1.0, 1,
+    )
+    f4 = np.asarray(f4)
+    assert f4.shape == (1, K)
+    assert (f4 >= 0).all() and (f4 < cfg.audio_vocab_size).all()
+
+    # Greedy codes on a RANDOM tiny model are a meaningless quality proxy
+    # (near-uniform logits + AR feedback amplify any flip); the meaningful
+    # check is that the quantized trunk's hidden states stay highly
+    # correlated with the dense trunk's.
+    from sesameai_tts_tpu.models.csm import embed_frames
+    from sesameai_tts_tpu.models.transformer import precompute_rope, transformer_forward
+
+    bb = cfg.backbone
+    x = embed_frames(params, cfg, jnp.asarray(tokens), jnp.asarray(mask))
+    rope = precompute_rope(bb)
+    pos = jnp.zeros((1,), jnp.int32)
+    h_dense, _ = transformer_forward(params["backbone"], bb, x, pos, None, rope)
+    h_q4, _ = transformer_forward(q4params["backbone"], bb, x, pos, None, rope)
+    a = np.asarray(h_dense, np.float32).ravel()
+    b = np.asarray(h_q4, np.float32).ravel()
+    cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-9))
+    assert cos > 0.9, f"int4 trunk cosine {cos}"  # ~0.97 on random weights
