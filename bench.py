@@ -46,10 +46,10 @@ def main():
 
     # -- warm-up (compiles prefill bucket, decode chunk, mimi decode) ------
     t0 = time.time()
-    frames = gen.generate_frames(text, 1, [], max_audio_length_ms=2_000,
-                                 temperature=0.8, topk=40)
-    _ = gen.decode_audio(frames) if len(frames) else None
-    print(f"warmup: {time.time()-t0:.1f}s ({len(frames)} frames)", file=sys.stderr)
+    audio_w = gen.generate(text, 1, [], max_audio_length_ms=2_000,
+                           temperature=0.8, topk=40)
+    print(f"warmup: {time.time()-t0:.1f}s ({len(audio_w)//gen._hop} frames)",
+          file=sys.stderr)
 
     # -- main RTF measurement: 10 s of audio -------------------------------
     seconds = 10.0
@@ -57,15 +57,13 @@ def main():
     rtfs = []
     for i in range(runs):
         t0 = time.time()
-        frames = gen.generate_frames(text, 1, [],
-                                     max_audio_length_ms=seconds * 1000,
-                                     temperature=0.8, topk=40)
-        audio = gen.decode_audio(frames)
+        audio = gen.generate(text, 1, [], max_audio_length_ms=seconds * 1000,
+                             temperature=0.8, topk=40)
         proc = time.time() - t0
         audio_s = len(audio) / gen.sample_rate
         rtfs.append(proc / audio_s)
         print(f"run {i}: {audio_s:.1f}s audio in {proc:.2f}s "
-              f"(RTF {proc/audio_s:.4f}, {len(frames)/proc:.1f} frames/s)",
+              f"(RTF {proc/audio_s:.4f}, {len(audio)/gen._hop/proc:.1f} frames/s)",
               file=sys.stderr)
     rtf = float(np.median(rtfs))
 

@@ -74,6 +74,7 @@ class Generator:
         seed: int = 0,
         unroll: bool = True,
         mesh=None,
+        codec_device=None,
     ):
         # decode path default: unrolled layer/codebook loops over per-layer
         # weight buffers (see models/csm.py::unstack_csm_params) — measured
@@ -93,6 +94,14 @@ class Generator:
 
             csm_params = shard_csm_params(csm_params, mesh)
             mimi_params = shard_replicated(mimi_params, mesh)
+        # two-stage pipeline parallelism (SURVEY §2.3 PP row): pin the
+        # codec to its own chip — Mimi decode of chunk k overlaps the AR
+        # decode of chunk k+1 across devices (single-chip mode instead
+        # fuses both into one program; see _decode_mimi_packed)
+        self._codec_device = codec_device
+        if codec_device is not None:
+            assert mesh is None, "codec_device and mesh are mutually exclusive"
+            mimi_params = jax.device_put(mimi_params, codec_device)
         self._params = csm_params
         self._cfg = csm_cfg
         self._mimi = mimi
@@ -244,7 +253,12 @@ class Generator:
         bucket = 1 << (frames - 1).bit_length()  # causal encoder: padding
         wav = np.zeros((1, 1, bucket * self._hop), np.float32)  # is exact
         wav[0, 0, :T] = audio
-        codes = self._mimi_encode(self._mimi_params, jnp.asarray(wav))
+        wav_dev = (
+            jax.device_put(wav, self._codec_device)
+            if self._codec_device is not None
+            else jnp.asarray(wav)
+        )
+        codes = self._mimi_encode(self._mimi_params, wav_dev)
         return np.asarray(codes[:, :frames])
 
     # -- tokenization (exposed for the service layer's context caching,
@@ -393,6 +407,13 @@ class Generator:
             text, speaker, context, cached_context, max_gen, temperature, topk
         )
 
+        if self._codec_device is not None:
+            yield from self._stream_pipelined(
+                frame, state, done, max_gen, temperature, topk,
+                chunk_frames, on_chunk_generated,
+            )
+            return
+
         mimi_state = self._mimi.init_decode_state(1, self._mimi_dtype)
         hop = self._hop
 
@@ -439,6 +460,74 @@ class Generator:
                 yield emit(wav_np[start * hop : (start + g) * hop])
             emitted += n_take
 
+    def _stream_pipelined(
+        self, frame, state, done, max_gen, temperature, topk,
+        chunk_frames, on_chunk_generated,
+    ) -> Iterator[np.ndarray]:
+        """Two-chip stage pipeline: AR decode on the model chip, Mimi on
+        ``codec_device``.  While the codec chip decodes chunk k's PCM, the
+        model chip already runs chunk k+1 — true cross-device overlap
+        (the single-chip path instead fuses both stages into one program).
+        """
+        dev_c = self._codec_device
+        K = self._cfg.audio_num_codebooks
+        hop = self._hop
+        mimi_state = self._mimi.init_decode_state(1, self._mimi_dtype)
+
+        def emit(chunk):
+            if on_chunk_generated:
+                on_chunk_generated(chunk)
+            return chunk
+
+        # first audio: prefill frame → codec chip → (done, frame, PCM)
+        packed0, mimi_state = self._first_chunk(
+            self._mimi_params,
+            jax.device_put(frame, dev_c),
+            jax.device_put(done, dev_c),
+            mimi_state,
+        )
+        arr0 = np.asarray(packed0)
+        if bool(arr0[0]):
+            return
+        emitted = 1
+        yield emit(arr0[1 + K :].view(np.float32))
+
+        done_host = False
+        pending = None  # (wav_dev on codec chip, n_take) — emitted lag-1
+        while emitted < max_gen and not done_host:
+            n = self._decode_chunk_frames
+            packed, frame, done, state = self._decode_packed(
+                self._params, state, frame, done, self._next_key(), n,
+                jnp.float32(temperature), topk,
+            )
+            codes_c = jax.device_put(
+                packed[: n * K].reshape(n, 1, K).transpose(1, 2, 0), dev_c
+            )
+            wav_c, mimi_state = self._mimi_decode_stream(
+                self._mimi_params, codes_c, mimi_state
+            )
+            # flags fetch blocks on the model chip only; the codec chip is
+            # decoding wav(k) while the next loop iteration dispatches the
+            # model chip's chunk k+1
+            arr = np.asarray(packed)
+            valid_np = arr[n * K : n * K + n].astype(bool)
+            done_host = bool(arr[-1])
+            n_take = min(int(valid_np.sum()), max_gen - emitted)
+            emitted += n_take
+            if pending is not None:
+                wav_np, take = pending
+                wav_np = np.asarray(wav_np)
+                for start in range(0, take, chunk_frames):
+                    g = min(chunk_frames, take - start)
+                    yield emit(wav_np[start * hop : (start + g) * hop])
+            pending = (wav_c, n_take)
+        if pending is not None:
+            wav_np, take = pending
+            wav_np = np.asarray(wav_np)
+            for start in range(0, take, chunk_frames):
+                g = min(chunk_frames, take - start)
+                yield emit(wav_np[start * hop : (start + g) * hop])
+
     def generate(
         self,
         text: str,
@@ -466,35 +555,53 @@ class Generator:
                 return np.zeros((0,), np.float32)
             return np.concatenate(chunks)
 
-        frames = self.generate_frames(
-            text, speaker, context, max_audio_length_ms, temperature, topk,
-            cached_context=cached_context,
-        )
-        if frames.shape[0] == 0:
-            return np.zeros((0,), np.float32)
-        return self.decode_audio(frames)
-
-    def generate_frames(
-        self, text, speaker, context, max_audio_length_ms=90_000,
-        temperature: float = 0.7, topk: int = 30, cached_context=None,
-    ) -> np.ndarray:
-        """→ (F, K) int32 valid frames (no EOS frame)."""
-        out: List[np.ndarray] = []
         K = self._cfg.audio_num_codebooks
         max_gen = int(max_audio_length_ms / FRAME_MS)
-
         frame, state, done, max_gen = self._prefill_utterance(
             text, speaker, context, cached_context, max_gen, temperature, topk
         )
         if bool(done[0]):
-            return np.zeros((0, K), np.int32)
-        out.append(np.asarray(frame))
+            return np.zeros((0,), np.float32)
+        device_chunks = self._decode_loop(frame, state, done, max_gen,
+                                          temperature, topk)
 
-        # Device→host fetches cost a full round trip on remote-attached TPUs,
-        # so the loop fetches ONLY the lag-1 chunk's tiny `done` flag (hidden
-        # behind the next chunk's execution); frames/valid stay on device and
-        # are bulk-fetched once at the end. Chunk sizes ramp so long
-        # utterances take few dispatches while early-EOS waste stays small.
+        # Codes never leave the device: assemble (1, K, bucket) from the
+        # packed chunk buffers, dispatch the offline Mimi decode, and only
+        # THEN fetch the packed flags (the fetch rides under the Mimi
+        # execution).  Invalid/overshoot frames are zeros forming a strict
+        # suffix, so the bucket-padded decode is byte-identical to
+        # decode_audio() of the valid prefix up to the trim point
+        # (causal codec).
+        parts = [frame[:, None, :]] + [
+            p[: n * K].reshape(n, 1, K).transpose(1, 0, 2)
+            for p, n in device_chunks
+        ]
+        total = 1 + sum(n for _, n in device_chunks)
+        bucket = 1 << (total - 1).bit_length()
+        codes = jnp.concatenate(parts, axis=1)  # (1, T, K)
+        codes = jnp.pad(codes, ((0, 0), (0, bucket - total), (0, 0)))
+        codes = codes.transpose(0, 2, 1)
+        if self._codec_device is not None:
+            codes = jax.device_put(codes, self._codec_device)
+        wav_dev = self._mimi_decode(self._mimi_params, codes)
+
+        n_frames = 1
+        if device_chunks:
+            arr_all = self._fetch_chunks(device_chunks)
+            n_frames += sum(
+                f.shape[0]
+                for f in self._unpack_chunks(arr_all, device_chunks, max_gen)
+            )
+        return np.asarray(wav_dev)[: n_frames * self._hop]
+
+    def _decode_loop(self, frame, state, done, max_gen, temperature, topk):
+        """Run the chunked decode scans; return (packed, n) device handles.
+
+        Device→host fetches cost a full round trip on remote-attached TPUs,
+        so the loop fetches ONLY the lag-1 chunk's tiny `done` flag (hidden
+        behind the next chunk's execution); frames/valid stay on device.
+        Chunk sizes ramp so long utterances take few dispatches while
+        early-EOS waste stays small."""
         generated = 1
         device_chunks = []  # (packed, n) device handles
         prev_packed = None
@@ -519,16 +626,12 @@ class Generator:
             if prev_packed is not None and bool(np.asarray(prev_packed)[-1]):
                 break
             prev_packed = packed
+        return device_chunks
 
-        # ONE fetch for all chunks: concatenating the device-resident packed
-        # buffers is a single cheap XLA op, and each np.asarray here is a
-        # ~30 ms network round trip on this remote-attached TPU
-        if device_chunks:
-            arr_all = np.asarray(
-                jnp.concatenate([p for p, _ in device_chunks])
-                if len(device_chunks) > 1
-                else device_chunks[0][0]
-            )
+    def _unpack_chunks(self, arr_all, device_chunks, max_gen):
+        """Packed int32 host buffer → list of (F_i, K) valid frame arrays."""
+        K = self._cfg.audio_num_codebooks
+        out = []
         budget = max_gen - 1  # frames allowed after the prefill frame
         off = 0
         for _, n in device_chunks:
@@ -541,6 +644,38 @@ class Generator:
             budget -= take
             if budget <= 0:
                 break
+        return out
+
+    def _fetch_chunks(self, device_chunks) -> np.ndarray:
+        # ONE fetch for all chunks: concatenating the device-resident packed
+        # buffers is a single cheap XLA op, and each np.asarray here is a
+        # ~30 ms network round trip on this remote-attached TPU
+        return np.asarray(
+            jnp.concatenate([p for p, _ in device_chunks])
+            if len(device_chunks) > 1
+            else device_chunks[0][0]
+        )
+
+    def generate_frames(
+        self, text, speaker, context, max_audio_length_ms=90_000,
+        temperature: float = 0.7, topk: int = 30, cached_context=None,
+    ) -> np.ndarray:
+        """→ (F, K) int32 valid frames (no EOS frame)."""
+        K = self._cfg.audio_num_codebooks
+        max_gen = int(max_audio_length_ms / FRAME_MS)
+
+        frame, state, done, max_gen = self._prefill_utterance(
+            text, speaker, context, cached_context, max_gen, temperature, topk
+        )
+        if bool(done[0]):
+            return np.zeros((0, K), np.int32)
+        out = [np.asarray(frame)]
+
+        device_chunks = self._decode_loop(frame, state, done, max_gen,
+                                          temperature, topk)
+        if device_chunks:
+            arr_all = self._fetch_chunks(device_chunks)
+            out.extend(self._unpack_chunks(arr_all, device_chunks, max_gen))
         return np.concatenate(out)
 
     def _chunk_schedule(self):
@@ -565,5 +700,10 @@ class Generator:
         bucket = 1 << (F - 1).bit_length()
         codes = np.zeros((1, frames.shape[1], bucket), np.int32)
         codes[0, :, :F] = frames.T
-        wav = self._mimi_decode(self._mimi_params, jnp.asarray(codes))
+        codes_dev = (
+            jax.device_put(codes, self._codec_device)
+            if self._codec_device is not None
+            else jnp.asarray(codes)
+        )
+        wav = self._mimi_decode(self._mimi_params, codes_dev)
         return np.asarray(wav[: F * self._hop])

@@ -76,6 +76,12 @@ class BatchedTTSServer:
 
     def __init__(self, generator: Generator, slots: int = 4,
                  chunk_frames: int = 10):
+        # the tick runs ONE fused program over model + codec; a
+        # codec_device split would hand it mixed-device inputs
+        assert getattr(generator, "_codec_device", None) is None, (
+            "BatchedTTSServer needs a single-device (or mesh) generator; "
+            "the codec_device stage split applies to streaming generation"
+        )
         self.gen = generator
         self.B = slots
         self.chunk = chunk_frames

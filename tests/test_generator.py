@@ -109,3 +109,22 @@ def test_input_length_guard(gen):
         gen.generate(
             "word " * 3000, speaker=1, context=[], max_audio_length_ms=90_000
         )
+
+
+def test_generate_device_assembly_equals_frames_path():
+    """generate() assembles codes on device and trims PCM by the valid
+    count; it must equal decode_audio(generate_frames()) exactly (same
+    seed => same key sequence => same frames; causal codec => zero-pad
+    suffix does not affect the emitted prefix)."""
+    from sesameai_tts_tpu.runtime.loader import build_generator, test_tiny_spec
+
+    g1 = build_generator(test_tiny_spec(), decode_chunk_frames=4)
+    frames = g1.generate_frames("device assembly parity", 1, [],
+                                max_audio_length_ms=1600, temperature=0.9, topk=5)
+    ref = g1.decode_audio(frames)
+
+    g2 = build_generator(test_tiny_spec(), decode_chunk_frames=4)
+    out = g2.generate("device assembly parity", 1, [],
+                      max_audio_length_ms=1600, temperature=0.9, topk=5)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(out, ref, atol=1e-5)

@@ -147,3 +147,32 @@ def test_batched_server_on_mesh():
             assert audio.ndim == 1
     finally:
         server.stop()
+
+
+def test_codec_device_stage_pipeline_matches_single_device():
+    """Two-chip stage pipeline (SURVEY §2.3 PP row): AR decode on device
+    0, Mimi pinned to device 1, chunk-overlapped.  Output must equal the
+    single-device fused path exactly (same seed → same frames; causal
+    codec → identical PCM)."""
+    from sesameai_tts_tpu.runtime.loader import build_generator, test_tiny_spec
+
+    text = "pipeline split across two chips"
+    kw = dict(max_audio_length_ms=1600, temperature=0.9, topk=5)
+
+    g0 = build_generator(test_tiny_spec(), decode_chunk_frames=4)
+    ref_stream = list(g0.generate_stream(text, 1, [], chunk_frames=2, **kw))
+
+    g1 = build_generator(test_tiny_spec(), decode_chunk_frames=4,
+                         codec_device=jax.devices()[1])
+    split_stream = list(g1.generate_stream(text, 1, [], chunk_frames=2, **kw))
+
+    ref = np.concatenate(ref_stream)
+    out = np.concatenate(split_stream)
+    assert out.shape == ref.shape
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+
+    # offline generate() and voice-context encode ride the codec chip too
+    g2 = build_generator(test_tiny_spec(), decode_chunk_frames=4,
+                         codec_device=jax.devices()[1])
+    audio = g2.generate(text, 1, [], **kw)
+    assert np.isfinite(audio).all() and len(audio) % g2._hop == 0
