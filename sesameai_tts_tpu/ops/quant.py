@@ -150,31 +150,38 @@ def quant_matmul_pallas(x: jnp.ndarray, q: jnp.ndarray, scale: jnp.ndarray,
     )(x, q, scale.reshape(1, F))
 
 
-def _q4mv_kernel_factory(D: int, G: int):
-    """Kernel over one F tile: unpack nibbles in VMEM, per-group partial
-    dots, scale, accumulate.  D/G static (from the weight shapes)."""
+def _q4mv_kernel_factory(D: int, G: int, panel: int = 256):
+    """Kernel over one F tile: unpack nibbles in VMEM panel-by-panel
+    (the i32 widening of a whole tile would be 4× its bytes — VMEM OOM
+    for big in-dims), per-group partial dots, scale, accumulate."""
     D2 = D // 2
     group = D // G
     G2 = G // 2  # groups per packed half
+    panel = min(panel, group)
+    assert group % panel == 0
 
     def kernel(x_ref, q_ref, s_ref, o_ref):
-        # Mosaic cannot legalize int8 vector arithmetic (arith.subi on i8);
-        # widen to i32 for the nibble unpack, then straight to bf16
-        q = q_ref[:].astype(jnp.int32)  # (D2, bf) two nibbles per byte
-        lo = (jnp.bitwise_xor(jnp.bitwise_and(q, 0x0F), 8) - 8).astype(jnp.bfloat16)
-        hi = jnp.right_shift(q, 4).astype(jnp.bfloat16)  # i32 sign-extends
         x = x_ref[:]  # (S, D) bf16
         acc = jnp.zeros(o_ref.shape, jnp.float32)
         for g in range(G2):
-            sl = slice(g * group, (g + 1) * group)
-            p_lo = jax.lax.dot(
-                x[:, sl], lo[sl], preferred_element_type=jnp.float32
-            )
-            p_hi = jax.lax.dot(
-                x[:, D2 + g * group : D2 + (g + 1) * group], hi[sl],
-                preferred_element_type=jnp.float32,
-            )
-            acc = acc + p_lo * s_ref[g] + p_hi * s_ref[G2 + g]
+            for p in range(group // panel):
+                r0 = g * group + p * panel
+                # Mosaic cannot legalize int8 vector arithmetic; widen the
+                # PANEL to i32, then straight to bf16
+                q = q_ref[r0 : r0 + panel].astype(jnp.int32)
+                lo = (jnp.bitwise_xor(jnp.bitwise_and(q, 0x0F), 8) - 8).astype(
+                    jnp.bfloat16
+                )
+                hi = jnp.right_shift(q, 4).astype(jnp.bfloat16)
+                p_lo = jax.lax.dot(
+                    x[:, r0 : r0 + panel], lo,
+                    preferred_element_type=jnp.float32,
+                )
+                p_hi = jax.lax.dot(
+                    x[:, D2 + r0 : D2 + r0 + panel], hi,
+                    preferred_element_type=jnp.float32,
+                )
+                acc = acc + p_lo * s_ref[g] + p_hi * s_ref[G2 + g]
         o_ref[:] = acc.astype(o_ref.dtype)
 
     return kernel

@@ -35,7 +35,12 @@ from sesameai_tts_tpu.runtime.generator import FRAME_MS, Generator
 
 @dataclass
 class Session:
-    """One TTS request; audio chunks arrive on ``chunks`` (None = end)."""
+    """One TTS request; audio chunks arrive on ``chunks`` (None = end).
+
+    ``cached_context`` takes a Generator ``precompute_context_state``
+    handle — the voice-prefix KV is then reused instead of re-prefilled
+    per request (the serving analog of the TTS engine's context cache).
+    """
 
     text: str
     speaker: int = 1
@@ -43,9 +48,16 @@ class Session:
     temperature: float = 0.8
     topk: int = 40
     max_audio_length_ms: float = 30_000
+    cached_context: Optional[tuple] = None
     chunks: "queue.Queue[Optional[np.ndarray]]" = field(default_factory=queue.Queue)
     frames_out: List[np.ndarray] = field(default_factory=list)
     error: Optional[Exception] = None
+    cancelled: bool = False
+
+    def cancel(self) -> None:
+        """Stop generating for this session: frees its slot at the next
+        scheduler tick (already-queued audio chunks stay readable)."""
+        self.cancelled = True
 
     def audio(self, timeout: Optional[float] = None) -> np.ndarray:
         """Block until finished; return concatenated PCM."""
@@ -202,11 +214,15 @@ class BatchedTTSServer:
                 session = self._pending.get(timeout=0.05)
             except queue.Empty:
                 continue
+            if session.cancelled:
+                session.chunks.put(None)
+                continue
             max_gen = int(session.max_audio_length_ms / FRAME_MS)
             try:
                 frame, state1, done1, max_gen = gen._prefill_utterance(
-                    session.text, session.speaker, list(session.context), None,
-                    max_gen, session.temperature, session.topk,
+                    session.text, session.speaker, list(session.context),
+                    session.cached_context, max_gen, session.temperature,
+                    session.topk,
                 )
                 # the prefill frame's PCM decodes here (B=1 state, scattered
                 # into the batched codec state at attach); (done, frame,
@@ -228,6 +244,9 @@ class BatchedTTSServer:
     def _attach(self, slot: int, item) -> None:
         """Scatter a prefilled session into an idle slot (tick thread)."""
         session, frame, state1, done1_np, max_gen, frame_np, wav0, ms1 = item
+        if session.cancelled:
+            session.chunks.put(None)
+            return
         self._state, self._prev_frame, self._done = self._scatter_slot(
             self._state, state1, frame, jnp.asarray([done1_np]),
             self._prev_frame, self._done, jnp.int32(slot),
@@ -319,6 +338,9 @@ class BatchedTTSServer:
 
             for slot in range(self.B):
                 if self._sessions[slot] is None:
+                    continue
+                if self._sessions[slot].cancelled:
+                    self._finish(slot)
                     continue
                 # clip to the session's own frame budget: the tick size is
                 # driven by the longest-budget session, and frames computed

@@ -176,3 +176,32 @@ def test_codec_device_stage_pipeline_matches_single_device():
                          codec_device=jax.devices()[1])
     audio = g2.generate(text, 1, [], **kw)
     assert np.isfinite(audio).all() and len(audio) % g2._hop == 0
+
+
+def test_global_serving_mesh_and_bootstrap_contract():
+    """Multi-host helpers: mesh layout keeps tp groups process-local and
+    the bootstrap validates its argument pairing (real multi-host needs
+    hardware; the contract is what CI can pin)."""
+    from sesameai_tts_tpu.parallel.distributed import (
+        global_serving_mesh,
+        initialize_multihost,
+    )
+
+    mesh = global_serving_mesh(tp=2)
+    assert mesh.axis_names == ("dp", "tp")
+    assert mesh.shape["dp"] * mesh.shape["tp"] == len(jax.devices())
+
+    with pytest.raises(ValueError):
+        global_serving_mesh(tp=3)  # does not divide 8
+    with pytest.raises(ValueError):
+        initialize_multihost(coordinator_address="h:1234")  # missing pid
+    initialize_multihost(num_processes=1)  # explicit single-process no-op
+
+    # the multi-host mesh drives the same sharded decode as make_mesh
+    cfg = csm_test_tiny()
+    params = csm_model.init_csm_params(jax.random.PRNGKey(3), cfg, jnp.float32)
+    tokens, mask = _mk_prompt(cfg, B=4, seed=9)
+    f_ref, out_ref, _ = _run(params, cfg, 4, tokens, mask)
+    f_sh, out_sh, _ = _run(params, cfg, 4, tokens, mask, mesh=mesh)
+    np.testing.assert_array_equal(f_ref, f_sh)
+    np.testing.assert_array_equal(out_ref, out_sh)
