@@ -146,8 +146,10 @@ class WebAppBase(TTSBaseApp, abc.ABC):
                 index, temperature, topk=topk, speed_factor=speed_factor
             )
             self.update_status(status)
-            if audio is None and self.queue.get(index) is not None:
-                # synthesis failed (engine-level retries already spent)
+            if audio is None:
+                # either synthesis failed (engine-level retries already
+                # spent) or the queue was cleared mid-flight by an
+                # interrupt — both terminate; never stream a None chunk
                 yield False, None
                 return
             self.stream_audio_response(audio)

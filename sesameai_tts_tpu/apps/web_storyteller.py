@@ -213,8 +213,12 @@ def main(argv=None):
 
         def drive(p, t, use_llm):
             for text, st, s, e, a, replay in app.continue_story(p, use_llm=use_llm):
-                # continuation: replay everything narrated so far first
-                yield text, st, (s, e), a, replay
+                # continuation: replay everything narrated so far first;
+                # leave the player untouched (gr.update()) when there is
+                # nothing to replay — a None would reset it mid-playback
+                yield text, st, (s, e), a, (
+                    replay if replay is not None else gr.update()
+                )
 
         def pump(rng, active, t, sp):
             for act, audio in app.sentence_generator_loop(

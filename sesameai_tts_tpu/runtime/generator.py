@@ -103,6 +103,26 @@ class Generator:
             assert mesh is None, "codec_device and mesh are mutually exclusive"
             mimi_params = jax.device_put(mimi_params, codec_device)
         self._params = csm_params
+        # quantized trunks: keep a persistent bf16 shadow for PREFILL —
+        # long prefills are compute-bound and otherwise hit a dense-dequant
+        # fallback that re-materializes every weight per call.  Decode
+        # programs keep streaming the int8/int4 weights (bandwidth-bound).
+        from sesameai_tts_tpu.ops.quant import dequantize_csm
+
+        def _any_quant(tree):
+            return any(
+                isinstance(x, dict) and ("q" in x or "q4" in x or "qn" in x)
+                for x in jax.tree.leaves(
+                    tree, is_leaf=lambda x: isinstance(x, dict) and (
+                        "q" in x or "q4" in x or "qn" in x
+                    )
+                )
+            )
+
+        if mesh is None and _any_quant(csm_params):
+            self._prefill_params = jax.jit(dequantize_csm)(csm_params)
+        else:
+            self._prefill_params = csm_params
         self._cfg = csm_cfg
         self._mimi = mimi
         self._mimi_params = mimi_params
@@ -217,6 +237,26 @@ class Generator:
             ])
             return packed, mimi_state
 
+        @functools.partial(jax.jit, static_argnames=("ns", "bucket"))
+        def finalize_offline(mimi_params, first_frame, packed_chunks, ns, bucket):
+            """Offline-generation tail in ONE program: assemble the code
+            tensor from the packed chunk buffers, run the full Mimi
+            decode, and bundle every chunk's flags plus the PCM into a
+            single fetchable buffer (one round trip ends the utterance)."""
+            K = cfg.audio_num_codebooks
+            parts = [first_frame[:, None, :]]
+            for p, n in zip(packed_chunks, ns):
+                parts.append(p[: n * K].reshape(n, 1, K).transpose(1, 0, 2))
+            codes = jnp.concatenate(parts, axis=1)  # (1, T, K)
+            codes = jnp.pad(
+                codes, ((0, 0), (0, bucket - codes.shape[1]), (0, 0))
+            ).transpose(0, 2, 1)
+            wav = mimi.decode(mimi_params, codes)[0, 0].astype(jnp.float32)
+            return jnp.concatenate(
+                [jnp.ravel(p) for p in packed_chunks]
+                + [jax.lax.bitcast_convert_type(wav, jnp.int32)]
+            )
+
         @jax.jit
         def extend(params, state, tokens, mask, valid_len):
             return csm_model.extend_state(
@@ -242,6 +282,7 @@ class Generator:
         self._decode_packed = decode_packed
         self._decode_mimi_packed = decode_mimi_packed
         self._first_chunk = first_chunk
+        self._finalize_offline = finalize_offline
         self._mimi_encode = mimi_encode
         self._mimi_decode = mimi_decode
         self._mimi_decode_stream = mimi_decode_stream
@@ -328,8 +369,8 @@ class Generator:
 
         state = self._init_state(1)
         state = self._extend(
-            self._params, state, jnp.asarray(tok_pad), jnp.asarray(msk_pad),
-            jnp.array([S], jnp.int32),
+            self._prefill_params, state, jnp.asarray(tok_pad),
+            jnp.asarray(msk_pad), jnp.array([S], jnp.int32),
         )
         return (jax.block_until_ready(state), S)
 
@@ -369,8 +410,8 @@ class Generator:
         tok_pad[0, :S], msk_pad[0, :S] = tokens, mask
 
         frame, state = self._prefill(
-            self._params, base_state, jnp.asarray(tok_pad), jnp.asarray(msk_pad),
-            jnp.array([S], jnp.int32), self._next_key(),
+            self._prefill_params, base_state, jnp.asarray(tok_pad),
+            jnp.asarray(msk_pad), jnp.array([S], jnp.int32), self._next_key(),
             jnp.float32(temperature), topk,
         )
         done = jnp.all(frame == 0, axis=-1)
@@ -393,6 +434,7 @@ class Generator:
         on_chunk_generated: Optional[Callable[[np.ndarray], None]] = None,
         chunk_frames: Optional[int] = None,
         cached_context=None,
+        decode_chunk_frames: Optional[int] = None,
     ) -> Iterator[np.ndarray]:
         """Yield PCM chunks as frames are generated.
 
@@ -402,6 +444,7 @@ class Generator:
         """
         max_gen = int(max_audio_length_ms / FRAME_MS)
         chunk_frames = chunk_frames or self._stream_chunk_frames
+        decode_chunk = decode_chunk_frames or self._decode_chunk_frames
 
         frame, state, done, max_gen = self._prefill_utterance(
             text, speaker, context, cached_context, max_gen, temperature, topk
@@ -410,7 +453,7 @@ class Generator:
         if self._codec_device is not None:
             yield from self._stream_pipelined(
                 frame, state, done, max_gen, temperature, topk,
-                chunk_frames, on_chunk_generated,
+                chunk_frames, on_chunk_generated, decode_chunk,
             )
             return
 
@@ -443,7 +486,7 @@ class Generator:
             # fixed chunk size: an arbitrary tail size would compile a fresh
             # program mid-stream (minutes on a remote compile service);
             # overshoot frames are simply not emitted
-            n = self._decode_chunk_frames
+            n = decode_chunk
             packed, frame, done, state, mimi_state = self._decode_mimi_packed(
                 self._params, self._mimi_params, state, mimi_state, frame, done,
                 self._next_key(), n, jnp.float32(temperature), topk,
@@ -462,7 +505,7 @@ class Generator:
 
     def _stream_pipelined(
         self, frame, state, done, max_gen, temperature, topk,
-        chunk_frames, on_chunk_generated,
+        chunk_frames, on_chunk_generated, decode_chunk=None,
     ) -> Iterator[np.ndarray]:
         """Two-chip stage pipeline: AR decode on the model chip, Mimi on
         ``codec_device``.  While the codec chip decodes chunk k's PCM, the
@@ -494,8 +537,9 @@ class Generator:
 
         done_host = False
         pending = None  # (wav_dev on codec chip, n_take) — emitted lag-1
+        decode_chunk = decode_chunk or self._decode_chunk_frames
         while emitted < max_gen and not done_host:
-            n = self._decode_chunk_frames
+            n = decode_chunk
             packed, frame, done, state = self._decode_packed(
                 self._params, state, frame, done, self._next_key(), n,
                 jnp.float32(temperature), topk,
@@ -565,18 +609,48 @@ class Generator:
         device_chunks = self._decode_loop(frame, state, done, max_gen,
                                           temperature, topk)
 
-        # Codes never leave the device: assemble (1, K, bucket) from the
-        # packed chunk buffers, dispatch the offline Mimi decode, and only
-        # THEN fetch the packed flags (the fetch rides under the Mimi
-        # execution).  Invalid/overshoot frames are zeros forming a strict
-        # suffix, so the bucket-padded decode is byte-identical to
-        # decode_audio() of the valid prefix up to the trim point
-        # (causal codec).
+        # Codes never leave the device.  Invalid/overshoot frames are
+        # zeros forming a strict suffix, so a bucket-padded decode is
+        # byte-identical to decode_audio() of the valid prefix up to the
+        # trim point (causal codec).
+        total = 1 + sum(n for _, n in device_chunks)
+        ns = tuple(n for _, n in device_chunks)
+        if len(device_chunks) <= 1:
+            # common case (budget fits one decode chunk): the whole tail is
+            # ONE fused program + ONE fetch — code assembly, the offline
+            # Mimi decode, flags packed next to the PCM.  Only taken for a
+            # single chunk: (ns, bucket) are static, and each distinct pair
+            # recompiles the full Mimi decode (minutes on the remote
+            # compile service) — the schedule bounds single-chunk variants.
+            bucket = max(32, -(-total // 32) * 32)
+            if self._codec_device is not None:
+                frame = jax.device_put(frame, self._codec_device)
+                chunks_c = tuple(
+                    jax.device_put(p, self._codec_device)
+                    for p, _ in device_chunks
+                )
+            else:
+                chunks_c = tuple(p for p, _ in device_chunks)
+            packed_all = self._finalize_offline(
+                self._mimi_params, frame, chunks_c, ns, bucket
+            )
+            arr = np.asarray(packed_all)
+            n_frames = 1
+            if device_chunks:
+                n_frames += sum(
+                    f.shape[0]
+                    for f in self._unpack_chunks(arr, device_chunks, max_gen)
+                )
+            wav = arr[sum(n * K + n + 1 for n in ns):].view(np.float32)
+            return wav[: n_frames * self._hop]
+
+        # multi-chunk (ramped schedule / EOS-early): device-side code
+        # assembly + pow2-bucket Mimi (bounded compile set), flags fetch
+        # riding under the Mimi execution
         parts = [frame[:, None, :]] + [
             p[: n * K].reshape(n, 1, K).transpose(1, 0, 2)
             for p, n in device_chunks
         ]
-        total = 1 + sum(n for _, n in device_chunks)
         bucket = 1 << (total - 1).bit_length()
         codes = jnp.concatenate(parts, axis=1)  # (1, T, K)
         codes = jnp.pad(codes, ((0, 0), (0, bucket - total), (0, 0)))
@@ -585,13 +659,10 @@ class Generator:
             codes = jax.device_put(codes, self._codec_device)
         wav_dev = self._mimi_decode(self._mimi_params, codes)
 
-        n_frames = 1
-        if device_chunks:
-            arr_all = self._fetch_chunks(device_chunks)
-            n_frames += sum(
-                f.shape[0]
-                for f in self._unpack_chunks(arr_all, device_chunks, max_gen)
-            )
+        arr_all = self._fetch_chunks(device_chunks)
+        n_frames = 1 + sum(
+            f.shape[0] for f in self._unpack_chunks(arr_all, device_chunks, max_gen)
+        )
         return np.asarray(wav_dev)[: n_frames * self._hop]
 
     def _decode_loop(self, frame, state, done, max_gen, temperature, topk):

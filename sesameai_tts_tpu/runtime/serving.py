@@ -114,8 +114,11 @@ class BatchedTTSServer:
             slots, generator._mimi_dtype
         )
         self._pending: "queue.Queue[Session]" = queue.Queue()
-        # prefilled sessions awaiting a slot: (session, frame, state1, done1, max_gen)
-        self._ready: "queue.Queue[tuple]" = queue.Queue()
+        # prefilled sessions awaiting a slot. BOUNDED: each entry pins a
+        # full B=1 backbone KV cache (+codec state) on device, so the
+        # admission worker blocks here instead of prefilling the whole
+        # backlog into HBM
+        self._ready: "queue.Queue[tuple]" = queue.Queue(maxsize=max(2, slots))
         self._lock = threading.Lock()
         self._running = False
         self._thread: Optional[threading.Thread] = None
@@ -237,9 +240,13 @@ class BatchedTTSServer:
             done1_np = bool(arr0[0])
             frame_np = arr0[1 : 1 + K].reshape(1, K)
             wav0 = arr0[1 + K :].view(np.float32)
-            self._ready.put(
-                (session, frame, state1, done1_np, max_gen, frame_np, wav0, ms1)
-            )
+            item = (session, frame, state1, done1_np, max_gen, frame_np, wav0, ms1)
+            while self._running:  # bounded queue: block without hanging stop()
+                try:
+                    self._ready.put(item, timeout=0.2)
+                    break
+                except queue.Full:
+                    continue
 
     def _attach(self, slot: int, item) -> None:
         """Scatter a prefilled session into an idle slot (tick thread)."""

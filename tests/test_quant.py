@@ -149,3 +149,29 @@ def test_int4_csm_generates_and_matches_int8_mostly():
     b = np.asarray(h_q4, np.float32).ravel()
     cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-9))
     assert cos > 0.9, f"int4 trunk cosine {cos}"  # ~0.97 on random weights
+
+
+def test_dequantize_csm_all_layouts():
+    """Prefill-shadow dequantization covers stacked/unstacked x int8/int4
+    (regression: stacked int4 leaves crashed _dequant4)."""
+    from sesameai_tts_tpu.core.config import csm_test_tiny
+    from sesameai_tts_tpu.models.csm import init_csm_params, unstack_csm_params
+    from sesameai_tts_tpu.ops.quant import dequantize_csm
+
+    cfg = csm_test_tiny()
+    params = init_csm_params(jax.random.PRNGKey(9), cfg, jnp.float32)
+    for bits in (8, 4):
+        q_stacked = quantize_csm(params, bits=bits)
+        for tree, ref in (
+            (q_stacked, params),
+            (unstack_csm_params(q_stacked), unstack_csm_params(params)),
+        ):
+            deq = dequantize_csm(tree, jnp.float32)
+            ref_leaves = jax.tree.leaves(ref)
+            deq_leaves = jax.tree.leaves(deq)
+            assert len(ref_leaves) == len(deq_leaves)
+            for a, b in zip(ref_leaves, deq_leaves):
+                assert a.shape == b.shape
+                tol = 0.02 if bits == 8 else 0.2
+                scale = float(jnp.abs(a).max()) + 1e-6
+                assert float(jnp.abs(a - b).max()) / scale < tol
