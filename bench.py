@@ -56,7 +56,7 @@ def main():
 
     # -- main RTF measurement: 10 s of audio -------------------------------
     seconds = 10.0
-    runs = 3
+    runs = 5  # remote-tunnel RTT jitter is ~±10%; median-of-5 is stabler
     rtfs = []
     for i in range(runs):
         t0 = time.time()

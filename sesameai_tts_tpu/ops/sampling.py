@@ -21,13 +21,25 @@ With ``topk == 1`` this is exact greedy argmax (used by parity tests).
 
 from __future__ import annotations
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+# Each phase shrinks the bracket 16× — 5 phases ≈ 2^20 ≈ 1e6× total, so
+# the threshold lands ~5e-5·range from the exact k-th value, far inside
+# bf16-grade logit spacing.  Phases are SEQUENTIAL ops inside the hot
+# frame program (32 samples/frame, measured ~35 µs each on v5e — the
+# 16-way split does a binary search's work in 1/4 the sequential steps
+# at trivial extra data-parallel cost).
+_DEFAULT_PHASES = int(os.environ.get("SAMPLING_SEARCH_PHASES", 5))
+_WAYS = 16
 
-def topk_threshold(logits: jnp.ndarray, k: int, iters: int = 30) -> jnp.ndarray:
-    """k-th largest value along the last axis via bisection.
+
+def topk_threshold(logits: jnp.ndarray, k: int, iters: int = _DEFAULT_PHASES) -> jnp.ndarray:
+    """k-th largest value along the last axis via ``iters`` phases of
+    16-way bracket search.
 
     Invariant: count(logits >= lo) >= k and count(logits >= hi) < k
     (hi starts just above the max).  Returns lo with shape
@@ -38,13 +50,22 @@ def topk_threshold(logits: jnp.ndarray, k: int, iters: int = 30) -> jnp.ndarray:
     # open the top bracket so count(>= hi) < k holds from the start
     hi = hi + 0.001 * (hi - lo) + 1e-6
 
-    # unrolled (iters is static): the CSM hot loop runs this 32×/frame
-    # inside one jitted program, and a lax loop pays per-iteration
-    # control overhead that straight-line scheduling does not
+    # interior split points at fractions 1/16 .. 15/16 of the bracket
+    fracs = jnp.arange(1, _WAYS, dtype=jnp.float32) / _WAYS  # (15,)
+    fracs = fracs.reshape((_WAYS - 1,) + (1,) * logits.ndim)
+
     for _ in range(iters):
-        mid = 0.5 * (lo + hi)
-        enough = jnp.sum(logits >= mid, axis=-1, keepdims=True) >= k
-        lo, hi = jnp.where(enough, mid, lo), jnp.where(enough, hi, mid)
+        mids = lo + (hi - lo) * fracs  # (15, ..., 1) ascending
+        # ONE data-parallel compare+reduce for all 15 split points
+        enough = (
+            jnp.sum(logits[None, ...] >= mids, axis=-1, keepdims=True) >= k
+        )  # (15, ..., 1) — non-increasing along axis 0
+        n_enough = jnp.sum(enough, axis=0)  # (..., 1) in [0, 15]
+        # largest mid that still has >= k candidates (else keep lo), and
+        # the next split point above it (else keep hi)
+        all_mids = jnp.concatenate([lo[None], mids, hi[None]], axis=0)  # (17, ..., 1)
+        lo = jnp.take_along_axis(all_mids, n_enough[None], axis=0)[0]
+        hi = jnp.take_along_axis(all_mids, (n_enough + 1)[None], axis=0)[0]
     return lo
 
 

@@ -120,6 +120,7 @@ class BatchedTTSServer:
         # backlog into HBM
         self._ready: "queue.Queue[tuple]" = queue.Queue(maxsize=max(2, slots))
         self._lock = threading.Lock()
+        self._inflight = None  # lag-1 dispatched tick awaiting fetch
         self._running = False
         self._thread: Optional[threading.Thread] = None
         self._admitter: Optional[threading.Thread] = None
@@ -292,6 +293,7 @@ class BatchedTTSServer:
             try:
                 self._tick(gen)
             except Exception as e:  # never die silently: unblock all sessions
+                self._inflight = None
                 for slot in range(self.B):
                     s = self._sessions[slot]
                     if s is not None:
@@ -310,9 +312,19 @@ class BatchedTTSServer:
 
                 logging.getLogger(__name__).exception("serving tick failed")
                 time.sleep(0.1)
+        # drain the last dispatched tick so final chunks reach listeners
+        if self._inflight is not None:
+            try:
+                self._process(gen, self._inflight)
+            except Exception:
+                pass
+            self._inflight = None
 
     def _tick(self, gen):
-            # attach prefilled sessions to idle slots (cheap device scatter)
+            # attach prefilled sessions to idle slots — an async device
+            # scatter chaining onto the LATEST state handles, safe while a
+            # dispatched tick is still executing (only freed slots are
+            # targets, and slots free during _process, before dispatch)
             for slot in range(self.B):
                 if self._sessions[slot] is None and not self._ready.empty():
                     try:
@@ -322,21 +334,38 @@ class BatchedTTSServer:
 
             active = [s for s in self._sessions if s is not None]
             if not active:
-                time.sleep(0.005)
+                if self._inflight is not None:
+                    self._process(gen, self._inflight)
+                    self._inflight = None
+                else:
+                    time.sleep(0.005)
                 return
 
             n = int(min(self.chunk, max(self._budget.max(), 1)))
-            hop = gen._hop
-            # ONE fused program (AR decode + batched Mimi for all slots) and
-            # ONE fetch per tick — remote-TPU round trips are ~30 ms and the
-            # old per-slot Mimi dispatch/fetch cycle dominated tick time
+            # ONE fused program (AR decode + batched Mimi for all slots),
+            # dispatched BEFORE the previous tick's fetch: the ~30 ms
+            # round trip rides under this tick's execution.  Emission
+            # bookkeeping (sessions/budgets) is snapshotted at dispatch —
+            # a session attached later must not receive this tick's audio.
             (packed, self._prev_frame, self._done, self._state,
              self._mimi_state) = gen._decode_mimi_packed(
                 gen._params, gen._mimi_params, self._state, self._mimi_state,
                 self._prev_frame, self._done, gen._next_key(), n,
                 jnp.asarray(self._temperature), jnp.asarray(self._topk),
             )
+            cur = (packed, n, list(self._sessions), self._budget.copy())
+            for slot in range(self.B):
+                if self._sessions[slot] is not None:
+                    self._budget[slot] -= n
+            if self._inflight is not None:
+                self._process(gen, self._inflight)
+            self._inflight = cur
+
+    def _process(self, gen, inflight):
+            """Fetch + emit one dispatched tick (lag-1 behind dispatch)."""
+            packed, n, sessions, budget = inflight
             B, K = self.B, gen._cfg.audio_num_codebooks
+            hop = gen._hop
             arr = np.asarray(packed)
             frames_np = arr[: n * B * K].reshape(n, B, K)
             valid_np = arr[n * B * K : n * B * K + n * B].reshape(n, B).astype(bool)
@@ -344,16 +373,16 @@ class BatchedTTSServer:
             pcm_np = arr[n * B * K + n * B + B :].view(np.float32).reshape(B, n * hop)
 
             for slot in range(self.B):
-                if self._sessions[slot] is None:
-                    continue
-                if self._sessions[slot].cancelled:
+                session = sessions[slot]
+                if session is None or session is not self._sessions[slot]:
+                    continue  # freed/replaced since dispatch
+                if session.cancelled:
                     self._finish(slot)
                     continue
-                # clip to the session's own frame budget: the tick size is
-                # driven by the longest-budget session, and frames computed
-                # past a slot's budget (or past its KV room) must not reach
-                # the listener
-                take = int(min(self._budget[slot], n))
+                # clip to the session's frame budget AT DISPATCH: the tick
+                # size is driven by the longest-budget session, and frames
+                # computed past a slot's budget must not reach the listener
+                take = int(min(budget[slot], n))
                 vmask = valid_np[:take, slot]
                 n_emit = int(vmask.sum())  # valid frames are a prefix
                 self._emit(
@@ -361,6 +390,5 @@ class BatchedTTSServer:
                     frames_np[:take, slot][vmask],
                     pcm_np[slot, : n_emit * hop],
                 )
-                self._budget[slot] -= n
-                if done_np[slot] or self._budget[slot] <= 0:
+                if done_np[slot] or budget[slot] - n <= 0:
                     self._finish(slot)
