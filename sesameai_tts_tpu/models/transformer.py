@@ -248,6 +248,7 @@ def transformer_forward(
     cache: Optional[KVCache],  # None = cache-free full-sequence (training)
     rope_cs: jnp.ndarray,  # (max_seq, hd/2, 2) precomputed table
     valid_len: Optional[jnp.ndarray] = None,  # (B,) real rows in x (right-padded prefill)
+    remat: bool = False,  # rematerialize layer activations (training memory)
 ) -> Tuple[jnp.ndarray, Optional[KVCache]]:
     """Run the trunk over a contiguous window of S positions.
 
@@ -343,6 +344,11 @@ def transformer_forward(
             h, _, _ = layer(h, wl, None, None)
             return h, None
 
+        if remat:
+            # jax.checkpoint per scanned layer: backward recomputes each
+            # layer's activations instead of storing L of them — the
+            # standard FLOPs-for-HBM trade for long-sequence training
+            scan_body_nc = jax.checkpoint(scan_body_nc)
         h, _ = jax.lax.scan(scan_body_nc, x, params["layers"])
         new_cache = None
 

@@ -47,6 +47,7 @@ def csm_loss(
     cfg: CSMConfig,
     batch: Batch,
     decoder_frames: int = 4,
+    remat: bool = False,
 ) -> tuple[jnp.ndarray, dict]:
     """→ (scalar loss, metrics dict)."""
     bb, dec = cfg.backbone, cfg.decoder
@@ -57,7 +58,7 @@ def csm_loss(
     x = x.astype(params["projection"].dtype)
     h, _ = transformer_forward(
         params["backbone"], bb, x, jnp.zeros((B,), jnp.int32), None,
-        precompute_rope(bb), valid_len=None,
+        precompute_rope(bb), valid_len=None, remat=remat,
     )
 
     is_audio = batch.mask[..., 0] & batch.loss_mask  # rows carrying audio codes

@@ -48,13 +48,18 @@ def init_train_state(params: dict, tx: optax.GradientTransformation) -> TrainSta
     return TrainState(params=params, opt_state=tx.init(params), step=jnp.int32(0))
 
 
-def make_train_step(cfg: CSMConfig, tx: optax.GradientTransformation, decoder_frames: int = 4):
-    """→ jitted (state, batch) → (state, metrics). Donates state."""
+def make_train_step(cfg: CSMConfig, tx: optax.GradientTransformation, decoder_frames: int = 4,
+                    remat: bool = False):
+    """→ jitted (state, batch) → (state, metrics). Donates state.
+
+    ``remat=True`` rematerializes backbone layer activations in the
+    backward pass (jax.checkpoint over the layer scan) — the standard
+    memory/FLOPs trade for long sequences or big per-chip batches."""
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch: Batch) -> Tuple[TrainState, dict]:
         def loss_fn(p):
-            return csm_loss(p, cfg, batch, decoder_frames)
+            return csm_loss(p, cfg, batch, decoder_frames, remat=remat)
 
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)

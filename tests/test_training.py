@@ -96,3 +96,41 @@ def test_sharded_train_step_on_mesh():
         state, metrics = step(state, batch)
         assert np.isfinite(float(metrics["loss"]))
         assert int(state.step) == 1
+
+
+def test_remat_train_step_matches():
+    """jax.checkpoint over the layer scan changes memory, not math: loss
+    and gradients agree with the non-remat step."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sesameai_tts_tpu.core.config import csm_test_tiny
+    from sesameai_tts_tpu.models.csm import init_csm_params
+    from sesameai_tts_tpu.training.loss import Batch, csm_loss
+
+    cfg = csm_test_tiny()
+    K = cfg.audio_num_codebooks
+    params = init_csm_params(jax.random.PRNGKey(0), cfg, jnp.float32)
+    rng = np.random.default_rng(0)
+    B, S = 2, 12
+    tokens = np.zeros((B, S, K + 1), np.int32)
+    mask = np.zeros((B, S, K + 1), bool)
+    tokens[:, : S // 2, K] = rng.integers(0, cfg.text_vocab_size, (B, S // 2))
+    mask[:, : S // 2, K] = True
+    tokens[:, S // 2 :, :K] = rng.integers(0, cfg.audio_vocab_size, (B, S // 2, K))
+    mask[:, S // 2 :, :K] = True
+    batch = Batch(tokens=jnp.asarray(tokens), mask=jnp.asarray(mask),
+                  loss_mask=jnp.ones((B, S), bool))
+
+    def loss_of(remat):
+        (l, _), g = jax.value_and_grad(
+            lambda p: csm_loss(p, cfg, batch, 2, remat=remat), has_aux=True
+        )(params)
+        return l, g
+
+    l0, g0 = loss_of(False)
+    l1, g1 = loss_of(True)
+    np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
