@@ -77,3 +77,50 @@ def test_session_cached_context(server):
     # same context → same KV prefix; sampling keys differ, so only assert
     # both produced audio and the cached path used the shorter prefill
     assert a_raw.ndim == 1 and a_c.ndim == 1 and len(a_c) > 0
+
+
+def test_serving_soak_mixed_workload(server):
+    """Stress the pipelined scheduler: a burst of mixed-length sessions
+    with random cancels and per-session sampling params; every session
+    must terminate, and delivered PCM must equal the offline decode of
+    its own delivered frames (the lag-1 tick bookkeeping invariant)."""
+    import random
+
+    gen = server.gen
+    hop = gen._mimi.cfg.hop_length
+    rng = random.Random(7)
+    sessions = []
+    for i in range(12):
+        s = server.submit(
+            f"soak session number {i}",
+            speaker=i % 2,
+            max_audio_length_ms=rng.choice([160, 480, 960, 2000]),
+            temperature=0.7 + 0.1 * (i % 3),
+            topk=3 + (i % 4),
+        )
+        sessions.append(s)
+        if i % 4 == 1:
+            s.cancel()  # some cancel immediately (possibly still pending)
+
+    # cancel one mid-flight (after its first chunk arrives)
+    victim = sessions[6]
+    chunks6 = [victim.chunks.get(timeout=300)]
+    victim.cancel()
+    while chunks6[-1] is not None:
+        chunks6.append(victim.chunks.get(timeout=300))
+    victim_audio = np.concatenate([c for c in chunks6 if c is not None])
+
+    for i, s in enumerate(sessions):
+        if s is victim:
+            audio = victim_audio
+        else:
+            audio = s.audio(timeout=300)
+        frames = (
+            np.concatenate(s.frames_out)
+            if s.frames_out
+            else np.zeros((0, server.gen._cfg.audio_num_codebooks), np.int32)
+        )
+        assert audio.shape[0] == frames.shape[0] * hop, f"session {i}"
+        if frames.shape[0]:
+            ref = gen.decode_audio(frames)
+            assert np.abs(audio - ref).max() < 2e-4, f"session {i} PCM"
