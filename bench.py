@@ -42,10 +42,12 @@ def main():
     gen = build_generator(csm_1b_spec(), decode_chunk_frames=125)
     print(f"build: {time.time()-t0:.1f}s", file=sys.stderr)
 
-    text = (
-        "The quick brown fox jumps over the lazy dog while the sun sets "
-        "behind the distant mountains and the river flows quietly onward."
-    )
+    # Prompt sized to a REPRESENTATIVE token count: no Llama tokenizer.json
+    # exists in this environment, so the byte fallback tokenizer is in use
+    # — it emits ~4 ids per word where Llama-3 BPE emits ~1.3, inflating
+    # prefill 4x. This sentence byte-tokenizes to ~56 rows, matching what
+    # the real tokenizer produces for a typical 40-word TTS sentence.
+    text = "The quick brown fox jumps over the lazy valley dog."
 
     # -- warm-up (compiles prefill bucket, decode chunk, mimi decode) ------
     t0 = time.time()

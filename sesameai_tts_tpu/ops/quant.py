@@ -281,7 +281,7 @@ import os
 # F-tile sizing: bigger tiles → fewer grid steps and larger DMA bursts,
 # bounded by VMEM (tile + its double buffer must fit alongside x).
 # Overridable for kernel experiments without editing call sites.
-_VMEM_TILE_BUDGET = int(os.environ.get("QUANT_TILE_BUDGET_BYTES", 4 * 2**20))
+_VMEM_TILE_BUDGET = int(os.environ.get("QUANT_TILE_BUDGET_BYTES", 6 * 2**20))
 
 
 def _block_f_for(F: int, D: int = 0, itemsize: int = 1) -> int:

@@ -8,13 +8,14 @@ the whole sampler lives inside the jitted frame program, so there is
 nothing to sync — a Gumbel-argmax over the top-k-masked logits is the
 same distribution in one fused pass.
 
-The top-k mask threshold (the k-th largest logit) is found by fixed-depth
-bisection over the logit range instead of ``lax.top_k`` — the sort a
-top_k lowers to on TPU costs more than the whole rest of the sampler,
-and the CSM hot loop samples 32×/frame.  30 halvings shrink the bracket
-by 2^30, far below bf16-grade logit spacing, and the resulting mask
-``logits >= lo`` keeps ties at the k-th value exactly like the
-``logits < kth → -inf`` sort-based mask.
+The top-k mask threshold (the k-th largest logit) is found by a
+fixed-depth 16-way bracket search over the logit range instead of
+``lax.top_k`` — the sort a top_k lowers to on TPU costs more than the
+whole rest of the sampler, and the CSM hot loop samples 32×/frame.
+Four 16-way phases shrink the bracket 2^16×, far below the gaps between
+logits near the k-th entry, and the resulting mask ``logits >= lo``
+keeps ties at the k-th value exactly like the ``logits < kth → -inf``
+sort-based mask.
 
 With ``topk == 1`` this is exact greedy argmax (used by parity tests).
 """
@@ -27,13 +28,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# Each phase shrinks the bracket 16× — 5 phases ≈ 2^20 ≈ 1e6× total, so
-# the threshold lands ~5e-5·range from the exact k-th value, far inside
-# bf16-grade logit spacing.  Phases are SEQUENTIAL ops inside the hot
+# Each phase shrinks the bracket 16× — 4 phases ≈ 2^16 ≈ 65536× total, so
+# the threshold lands ~1.5e-5·|range| from the exact k-th value — logit
+# gaps near the k-th entry are orders of magnitude larger (and the hot
+# path computes logits from bf16 operands anyway).  Phases are SEQUENTIAL ops inside the hot
 # frame program (32 samples/frame, measured ~35 µs each on v5e — the
 # 16-way split does a binary search's work in 1/4 the sequential steps
 # at trivial extra data-parallel cost).
-_DEFAULT_PHASES = int(os.environ.get("SAMPLING_SEARCH_PHASES", 5))
+_DEFAULT_PHASES = int(os.environ.get("SAMPLING_SEARCH_PHASES", 4))
 _WAYS = 16
 
 
