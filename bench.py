@@ -58,7 +58,7 @@ def main():
 
     # -- main RTF measurement: 10 s of audio -------------------------------
     seconds = 10.0
-    runs = 5  # remote-tunnel RTT jitter is ~±10%; median-of-5 is stabler
+    runs = 7  # remote-tunnel RTT jitter is ~±5-10%; median-of-7 is stabler
     rtfs = []
     for i in range(runs):
         t0 = time.time()

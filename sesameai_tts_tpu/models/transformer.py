@@ -311,6 +311,10 @@ def transformer_forward(
         h = h + qdot(gate * w13[..., F:], wl["w2"])
         return h, lk, lv
 
+    if remat and cache is None:
+        # activation rematerialization applies per layer in BOTH layouts
+        layer = jax.checkpoint(layer, static_argnums=())
+
     if is_unstacked(params):
         # unrolled layer loop over per-layer weight buffers: every weight
         # is its own XLA buffer (no in-program slices of stacked arrays),
@@ -344,11 +348,9 @@ def transformer_forward(
             h, _, _ = layer(h, wl, None, None)
             return h, None
 
-        if remat:
-            # jax.checkpoint per scanned layer: backward recomputes each
-            # layer's activations instead of storing L of them — the
-            # standard FLOPs-for-HBM trade for long-sequence training
-            scan_body_nc = jax.checkpoint(scan_body_nc)
+        # (layer is already checkpoint-wrapped above when remat=True:
+        # backward recomputes each layer's activations instead of storing
+        # L of them — the standard FLOPs-for-HBM trade)
         h, _ = jax.lax.scan(scan_body_nc, x, params["layers"])
         new_cache = None
 

@@ -77,3 +77,25 @@ def test_per_batch_temperature_broadcasts():
     # extreme cold temperature → effectively greedy
     cold = sample_topk(jax.random.PRNGKey(7), logits, 3, jnp.array([1e-4, 1e-4]))
     np.testing.assert_array_equal(np.asarray(cold), [7, 0])
+
+
+def test_threshold_leak_bound_at_vocab_scale():
+    """Exactness contract at the REAL audio-vocab size (V=2051): the
+    bracket search never drops a top-k token, and any extra kept token's
+    logit is within range/2^20 of the true k-th value."""
+    import numpy as np
+
+    from sesameai_tts_tpu.ops.sampling import topk_threshold
+
+    for seed in range(20):
+        rng = np.random.default_rng(seed)
+        logits = jnp.asarray(rng.normal(size=(16, 2051)) * 8.0, jnp.float32)
+        for k in (5, 40, 200, 2000):
+            lo = np.asarray(topk_threshold(logits, k))
+            arr = np.asarray(logits)
+            kth = np.sort(arr, axis=-1)[:, -k]
+            # never undercount: every true top-k token is kept
+            assert (lo[:, 0] <= kth + 1e-6).all()
+            # leak bound: threshold within range/2^20 of the k-th value
+            rng_ = arr.max(axis=-1) - arr.min(axis=-1)
+            assert (kth - lo[:, 0] <= rng_ / 2**20 + 1e-6).all()

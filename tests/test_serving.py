@@ -108,7 +108,10 @@ def test_serving_soak_mixed_workload(server):
     victim.cancel()
     while chunks6[-1] is not None:
         chunks6.append(victim.chunks.get(timeout=300))
-    victim_audio = np.concatenate([c for c in chunks6 if c is not None])
+    got = [c for c in chunks6 if c is not None]
+    victim_audio = (
+        np.concatenate(got) if got else np.zeros((0,), np.float32)
+    )
 
     for i, s in enumerate(sessions):
         if s is victim:

@@ -134,3 +134,31 @@ def test_remat_train_step_matches():
     np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
     for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_remat_applies_to_unstacked_layout_too():
+    """remat must not silently no-op for unstacked (per-layer) params."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sesameai_tts_tpu.core.config import csm_test_tiny
+    from sesameai_tts_tpu.models.csm import embed_frames, init_csm_params, unstack_csm_params
+    from sesameai_tts_tpu.models.transformer import precompute_rope, transformer_forward
+
+    cfg = csm_test_tiny()
+    bb = cfg.backbone
+    params = init_csm_params(jax.random.PRNGKey(1), cfg, jnp.float32)
+    u = unstack_csm_params(params)
+    x = jax.random.normal(jax.random.PRNGKey(2), (2, 8, bb.embed_dim))
+    rope = precompute_rope(bb)
+    pos = jnp.zeros((2,), jnp.int32)
+
+    def loss(trunk, remat):
+        h, _ = transformer_forward(trunk, bb, x, pos, None, rope, remat=remat)
+        return (h.astype(jnp.float32) ** 2).mean()
+
+    g0 = jax.grad(lambda t: loss(t, False))(u["backbone"])
+    g1 = jax.grad(lambda t: loss(t, True))(u["backbone"])
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
