@@ -175,14 +175,14 @@ def main():
     tokens = jnp.zeros((1, 512, K + 1), jnp.int32)
     mask = jnp.zeros((1, 512, K + 1), bool).at[:, :, K].set(True)
     state0 = csm_model.init_state(cfg, 1, jnp.bfloat16, unstacked=gen._unrolled)
-    frame, _ = gen._prefill(gen._params, state0, tokens, mask,
+    frame, _ = gen._prefill(gen._prefill_params, state0, tokens, mask,
                             jnp.array([512], jnp.int32), jax.random.PRNGKey(0),
                             jnp.float32(0.8), 40)
     _ = np.asarray(frame[0, 0])
     t0 = time.time()
     iters = 10
     for _ in range(iters):
-        frame, _ = gen._prefill(gen._params, state0, tokens, mask,
+        frame, _ = gen._prefill(gen._prefill_params, state0, tokens, mask,
                                 jnp.array([512], jnp.int32), jax.random.PRNGKey(0),
                                 jnp.float32(0.8), 40)
     _ = np.asarray(frame[0, 0])
