@@ -1,0 +1,228 @@
+"""Headless HTTP serving API over the batched TTS engine.
+
+The reference's only serving surfaces are gradio UIs (reference
+web_chat.py / web_storyteller.py) and an interactive CLI; production
+deployments need a plain HTTP endpoint in front of the batched engine.
+Stdlib-only (no framework deps in this environment):
+
+    POST /tts           {"text": ..., "speaker": 1, "max_audio_length_ms":
+                         30000, "temperature": 0.8, "topk": 40, "voice": ...}
+                        → audio/wav (16-bit PCM, 24 kHz)
+    POST /tts/stream    same body → chunked audio/pcm;rate=24000;encoding=
+                        float32 — chunks flush as the engine emits them
+    GET  /healthz       → {"status": "ok", "slots": B}
+
+Concurrency rides the BatchedTTSServer slot pool: N in-flight requests
+decode in the same batched programs. Voices resolve through the TTS
+engine's registry when one is attached.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import logging
+import struct
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+import numpy as np
+
+from sesameai_tts_tpu.runtime.serving import BatchedTTSServer
+
+logger = logging.getLogger(__name__)
+
+
+def _wav_bytes(audio: np.ndarray, rate: int) -> bytes:
+    pcm = np.clip(audio, -1.0, 1.0)
+    pcm16 = np.round(pcm * 32767.0).astype("<i2").tobytes()
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(pcm16)) + b"WAVE"
+    hdr += b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
+    hdr += b"data" + struct.pack("<I", len(pcm16))
+    return hdr + pcm16
+
+
+class TTSRequestHandler(BaseHTTPRequestHandler):
+    server_version = "sesameai-tts-tpu/0.2"
+
+    # injected by serve():
+    engine: BatchedTTSServer = None
+    voices: dict = {}
+    sample_rate: int = 24_000
+    max_text_len: int = 4096
+
+    def log_message(self, fmt, *args):  # route through logging, not stderr
+        logger.info("%s %s", self.address_string(), fmt % args)
+
+    def _read_body(self) -> Optional[dict]:
+        try:
+            n = int(self.headers.get("Content-Length", 0))
+            if n <= 0 or n > 1 << 20:
+                raise ValueError("bad Content-Length")
+            return json.loads(self.rfile.read(n))
+        except Exception as e:
+            self._error(400, f"invalid request body: {e}")
+            return None
+
+    def _error(self, code: int, msg: str):
+        payload = json.dumps({"error": msg}).encode()
+        self.send_response(code)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(payload)))
+        self.end_headers()
+        self.wfile.write(payload)
+
+    def _submit(self, body: dict):
+        text = body.get("text", "")
+        if not isinstance(text, str) or not text.strip():
+            self._error(400, "missing 'text'")
+            return None
+        if len(text) > self.max_text_len:
+            self._error(413, f"text longer than {self.max_text_len} chars")
+            return None
+        cached = None
+        voice = body.get("voice")
+        if voice is not None:
+            cached = self.voices.get(voice)
+            if cached is None:
+                self._error(404, f"unknown voice {voice!r}")
+                return None
+        try:
+            return self.engine.submit(
+                text.strip(),
+                speaker=int(body.get("speaker", 1)),
+                max_audio_length_ms=float(body.get("max_audio_length_ms", 30_000)),
+                temperature=float(body.get("temperature", 0.8)),
+                topk=int(body.get("topk", 40)),
+                cached_context=cached,
+            )
+        except Exception as e:
+            self._error(400, f"bad parameters: {e}")
+            return None
+
+    def do_GET(self):
+        if self.path == "/healthz":
+            payload = json.dumps(
+                {"status": "ok", "slots": self.engine.B,
+                 "voices": sorted(self.voices)}
+            ).encode()
+            self.send_response(200)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(payload)))
+            self.end_headers()
+            self.wfile.write(payload)
+        else:
+            self._error(404, "unknown path")
+
+    def do_POST(self):
+        if self.path not in ("/tts", "/tts/stream"):
+            self._error(404, "unknown path")
+            return
+        body = self._read_body()
+        if body is None:
+            return
+        session = self._submit(body)
+        if session is None:
+            return
+
+        if self.path == "/tts":
+            try:
+                audio = session.audio(timeout=600)
+            except Exception as e:
+                self._error(500, f"generation failed: {e}")
+                return
+            wav = _wav_bytes(audio, self.sample_rate)
+            self.send_response(200)
+            self.send_header("Content-Type", "audio/wav")
+            self.send_header("Content-Length", str(len(wav)))
+            self.end_headers()
+            self.wfile.write(wav)
+            return
+
+        # /tts/stream — chunked raw float32 PCM, flushed as emitted
+        self.send_response(200)
+        self.send_header(
+            "Content-Type", "audio/pcm;rate=%d;encoding=float32" % self.sample_rate
+        )
+        self.send_header("Transfer-Encoding", "chunked")
+        self.end_headers()
+        try:
+            while True:
+                chunk = session.chunks.get(timeout=600)
+                if chunk is None:
+                    break
+                raw = np.asarray(chunk, np.float32).tobytes()
+                self.wfile.write(b"%x\r\n" % len(raw) + raw + b"\r\n")
+                self.wfile.flush()
+            self.wfile.write(b"0\r\n\r\n")
+        except (BrokenPipeError, ConnectionResetError):
+            session.cancel()  # client hung up: free the slot
+
+
+def serve(engine: BatchedTTSServer, host: str = "0.0.0.0", port: int = 8080,
+          voices: Optional[dict] = None,
+          sample_rate: int = 24_000) -> ThreadingHTTPServer:
+    """Start the HTTP front end (returns the server; call .shutdown())."""
+    handler = type(
+        "BoundHandler", (TTSRequestHandler,),
+        {"engine": engine, "voices": voices or {}, "sample_rate": sample_rate},
+    )
+    httpd = ThreadingHTTPServer((host, port), handler)
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    logger.info("TTS HTTP API on %s:%d (%d slots)", host, port, engine.B)
+    return httpd
+
+
+def main(argv=None):
+    import argparse
+
+    p = argparse.ArgumentParser(description="CSM TTS HTTP server (TPU)")
+    p.add_argument("--host", default="0.0.0.0")
+    p.add_argument("--port", type=int, default=8080)
+    p.add_argument("--slots", type=int, default=4)
+    p.add_argument("--model-path", default=None)
+    p.add_argument("--mimi-path", default=None)
+    p.add_argument("--tokenizer", default="byte")
+    p.add_argument("--voices", default=None, help="voice directory root")
+    p.add_argument("--flavor", default="csm-1b", choices=["csm-1b", "test-tiny"])
+    args = p.parse_args(argv)
+
+    from sesameai_tts_tpu.runtime.loader import (
+        build_generator, csm_1b_spec, test_tiny_spec,
+    )
+
+    spec = (
+        test_tiny_spec() if args.flavor == "test-tiny"
+        else csm_1b_spec(args.model_path, args.mimi_path, args.tokenizer)
+    )
+    gen = build_generator(spec)
+
+    voices = {}
+    if args.voices:
+        from sesameai_tts_tpu.audio.io import read_wav_mono
+        from sesameai_tts_tpu.runtime.frames import Segment
+        from sesameai_tts_tpu.service.voices import load_registry
+
+        for name, clips in load_registry(args.voices).items():
+            segments = [
+                Segment(speaker=1, text=text,
+                        audio=read_wav_mono(path, gen.sample_rate)[0])
+                for path, text in clips.items()
+            ]
+            # precompute each voice's KV prefix ONCE; every request for the
+            # voice reuses it (no per-request context prefill)
+            voices[name] = gen.precompute_context_state(segments)
+
+    engine = BatchedTTSServer(gen, slots=args.slots)
+    engine.start()
+    httpd = serve(engine, args.host, args.port, voices, gen.sample_rate)
+    try:
+        threading.Event().wait()
+    except KeyboardInterrupt:
+        httpd.shutdown()
+        engine.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,94 @@
+"""HTTP serving front end: WAV responses, chunked PCM streaming, voices,
+health, error paths — against a real tiny engine."""
+
+import json
+import urllib.error
+import urllib.request
+
+import numpy as np
+import pytest
+
+from sesameai_tts_tpu.runtime.loader import build_generator, test_tiny_spec
+from sesameai_tts_tpu.runtime.serving import BatchedTTSServer
+from sesameai_tts_tpu.service.http_api import serve
+
+
+@pytest.fixture(scope="module")
+def api():
+    gen = build_generator(test_tiny_spec(), decode_chunk_frames=4)
+    engine = BatchedTTSServer(gen, slots=2, chunk_frames=4)
+    engine.start()
+    from sesameai_tts_tpu.runtime.frames import Segment
+
+    hop = gen._mimi.cfg.hop_length
+    seg = Segment(
+        speaker=1, text="clip",
+        audio=(np.random.default_rng(0).normal(size=2 * hop) * 0.1).astype(np.float32),
+    )
+    voices = {"demo": gen.precompute_context_state([seg])}
+    httpd = serve(engine, host="127.0.0.1", port=0, voices=voices,
+                  sample_rate=gen.sample_rate)
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    yield base, gen
+    httpd.shutdown()
+    engine.stop()
+
+
+def _post(base, path, body):
+    req = urllib.request.Request(
+        base + path, data=json.dumps(body).encode(),
+        headers={"Content-Type": "application/json"}, method="POST",
+    )
+    return urllib.request.urlopen(req, timeout=300)
+
+
+def test_healthz(api):
+    base, _ = api
+    with urllib.request.urlopen(base + "/healthz", timeout=60) as r:
+        info = json.loads(r.read())
+    assert info["status"] == "ok" and info["slots"] == 2
+    assert info["voices"] == ["demo"]
+
+
+def test_tts_wav(api):
+    base, gen = api
+    with _post(base, "/tts", {"text": "hello over http",
+                              "max_audio_length_ms": 800,
+                              "temperature": 0.9, "topk": 5}) as r:
+        assert r.headers["Content-Type"] == "audio/wav"
+        wav = r.read()
+    assert wav[:4] == b"RIFF" and wav[8:12] == b"WAVE"
+    pcm = np.frombuffer(wav[44:], "<i2")
+    assert len(pcm) % gen._hop == 0 and len(pcm) > 0
+
+
+def test_tts_stream_chunked(api):
+    base, gen = api
+    with _post(base, "/tts/stream", {"text": "stream me please",
+                                     "max_audio_length_ms": 800,
+                                     "temperature": 0.9, "topk": 5}) as r:
+        assert r.headers["Content-Type"].startswith("audio/pcm")
+        raw = r.read()  # urllib de-chunks
+    pcm = np.frombuffer(raw, np.float32)
+    assert len(pcm) % gen._hop == 0 and np.isfinite(pcm).all()
+
+
+def test_tts_with_voice_and_errors(api):
+    base, gen = api
+    with _post(base, "/tts", {"text": "with a voice", "voice": "demo",
+                              "max_audio_length_ms": 640,
+                              "temperature": 0.9, "topk": 5}) as r:
+        assert r.status == 200 and len(r.read()) > 44
+
+    for body, code in (
+        ({"text": ""}, 400),
+        ({"text": "x", "voice": "nope"}, 404),
+        ({"text": "y" * 5000}, 413),
+    ):
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(base, "/tts", body)
+        assert ei.value.code == code
+
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(base, "/nope", {"text": "x"})
+    assert ei.value.code == 404
