@@ -15,7 +15,7 @@ whole rest of the sampler, and the CSM hot loop samples 32×/frame.
 
 Exactness contract: the mask NEVER drops a top-k token (the invariant
 count(>= lo) >= k holds throughout).  It may additionally keep a token
-whose logit lies within ``range/2^20`` of the k-th value (five 16-way
+whose logit lies within ``range/2^20`` of the k-th value (four 32-way
 phases); such a token's probability is within a factor exp(6e-5·range /
 temperature) ≈ 1.004 of the boundary token's — distributionally
 indistinguishable from the sort-based mask (pinned by the χ² test and a
@@ -32,13 +32,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-# Each phase shrinks the bracket 16× — 5 phases ≈ 2^20 ≈ 1e6× total:
-# any over-kept token is within range/2^20 of the k-th logit (see the
-# module docstring for the exactness contract).  Phases are SEQUENTIAL
-# ops inside the hot frame program (32 samples/frame, ~35 µs each on
-# v5e — a 16-way split does a binary search's work in 1/4 the steps).
-_DEFAULT_PHASES = int(os.environ.get("SAMPLING_SEARCH_PHASES", 5))
-_WAYS = 16
+# Each phase shrinks the bracket 32× — 4 phases = 32^4 = 2^20 ≈ 1e6×
+# total: any over-kept token is within range/2^20 of the k-th logit (see
+# the module docstring for the exactness contract).  Phases are
+# SEQUENTIAL ops inside the hot frame program (32 samples/frame, ~35 µs
+# each on v5e); widening a phase is data-parallel and near-free, so
+# 32-way × 4 beats 16-way × 5 at identical resolution.
+_DEFAULT_PHASES = int(os.environ.get("SAMPLING_SEARCH_PHASES", 4))
+_WAYS = 32
 
 
 def topk_threshold(logits: jnp.ndarray, k: int, iters: int = _DEFAULT_PHASES) -> jnp.ndarray:
@@ -54,20 +55,20 @@ def topk_threshold(logits: jnp.ndarray, k: int, iters: int = _DEFAULT_PHASES) ->
     # open the top bracket so count(>= hi) < k holds from the start
     hi = hi + 0.001 * (hi - lo) + 1e-6
 
-    # interior split points at fractions 1/16 .. 15/16 of the bracket
-    fracs = jnp.arange(1, _WAYS, dtype=jnp.float32) / _WAYS  # (15,)
+    # interior split points at fractions 1/W .. (W-1)/W of the bracket
+    fracs = jnp.arange(1, _WAYS, dtype=jnp.float32) / _WAYS  # (W-1,)
     fracs = fracs.reshape((_WAYS - 1,) + (1,) * logits.ndim)
 
     for _ in range(iters):
-        mids = lo + (hi - lo) * fracs  # (15, ..., 1) ascending
-        # ONE data-parallel compare+reduce for all 15 split points
+        mids = lo + (hi - lo) * fracs  # (W-1, ..., 1) ascending
+        # ONE data-parallel compare+reduce for all W-1 split points
         enough = (
             jnp.sum(logits[None, ...] >= mids, axis=-1, keepdims=True) >= k
-        )  # (15, ..., 1) — non-increasing along axis 0
-        n_enough = jnp.sum(enough, axis=0)  # (..., 1) in [0, 15]
+        )  # (W-1, ..., 1) — non-increasing along axis 0
+        n_enough = jnp.sum(enough, axis=0)  # (..., 1) in [0, W-1]
         # largest mid that still has >= k candidates (else keep lo), and
         # the next split point above it (else keep hi)
-        all_mids = jnp.concatenate([lo[None], mids, hi[None]], axis=0)  # (17, ..., 1)
+        all_mids = jnp.concatenate([lo[None], mids, hi[None]], axis=0)  # (W+1, ..., 1)
         idx = jnp.stack([n_enough, n_enough + 1])  # one fused gather
         lo, hi = jnp.take_along_axis(all_mids, idx, axis=0)
     return lo
