@@ -9,7 +9,7 @@ nothing to sync — a Gumbel-argmax over the top-k-masked logits is the
 same distribution in one fused pass.
 
 The top-k mask threshold (the k-th largest logit) is found by a
-fixed-depth 16-way bracket search over the logit range instead of
+fixed-depth 32-way bracket search over the logit range instead of
 ``lax.top_k`` — the sort a top_k lowers to on TPU costs more than the
 whole rest of the sampler, and the CSM hot loop samples 32×/frame.
 
@@ -44,7 +44,7 @@ _WAYS = 32
 
 def topk_threshold(logits: jnp.ndarray, k: int, iters: int = _DEFAULT_PHASES) -> jnp.ndarray:
     """k-th largest value along the last axis via ``iters`` phases of
-    16-way bracket search.
+    ``_WAYS``-way bracket search.
 
     Invariant: count(logits >= lo) >= k and count(logits >= hi) < k
     (hi starts just above the max).  Returns lo with shape

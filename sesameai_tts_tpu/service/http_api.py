@@ -22,33 +22,35 @@ from __future__ import annotations
 import io
 import json
 import logging
-import struct
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
 
 import numpy as np
 
+from sesameai_tts_tpu.audio.io import write_wav
 from sesameai_tts_tpu.runtime.serving import BatchedTTSServer
 
 logger = logging.getLogger(__name__)
 
 
 def _wav_bytes(audio: np.ndarray, rate: int) -> bytes:
-    pcm = np.clip(audio, -1.0, 1.0)
-    pcm16 = np.round(pcm * 32767.0).astype("<i2").tobytes()
-    hdr = b"RIFF" + struct.pack("<I", 36 + len(pcm16)) + b"WAVE"
-    hdr += b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, rate, rate * 2, 2, 16)
-    hdr += b"data" + struct.pack("<I", len(pcm16))
-    return hdr + pcm16
+    buf = io.BytesIO()
+    write_wav(buf, audio, rate)  # the framework's one WAV serializer
+    return buf.getvalue()
 
 
 class TTSRequestHandler(BaseHTTPRequestHandler):
     server_version = "sesameai-tts-tpu/0.2"
+    # HTTP/1.1 is REQUIRED for the chunked streaming responses — a 1.0
+    # status line makes spec-compliant clients ignore Transfer-Encoding
+    # and read the chunk framing as body bytes
+    protocol_version = "HTTP/1.1"
 
     # injected by serve():
     engine: BatchedTTSServer = None
     voices: dict = {}
+    watermarker = None  # (watermarker, key) for flagship provenance
     sample_rate: int = 24_000
     max_text_len: int = 4096
 
@@ -132,41 +134,97 @@ class TTSRequestHandler(BaseHTTPRequestHandler):
             except Exception as e:
                 self._error(500, f"generation failed: {e}")
                 return
+            audio = self._maybe_watermark(audio)
+            peak = float(np.abs(audio).max(initial=0.0))
+            if peak > 1.0:
+                # over-full-scale audio would CLIP in the 16-bit WAV
+                # (destroying the watermark); the DSP watermark is
+                # gain-robust, so scaling preserves verification
+                audio = audio / peak
             wav = _wav_bytes(audio, self.sample_rate)
             self.send_response(200)
             self.send_header("Content-Type", "audio/wav")
             self.send_header("Content-Length", str(len(wav)))
             self.end_headers()
-            self.wfile.write(wav)
+            try:
+                self.wfile.write(wav)
+            except (BrokenPipeError, ConnectionResetError):
+                pass  # generation already complete; nothing to cancel
             return
 
-        # /tts/stream — chunked raw float32 PCM, flushed as emitted
+        # /tts/stream — chunked raw float32 PCM, flushed as emitted.
+        # With a watermarker configured (flagship), PCM flushes in ≥4 s
+        # groups so each group carries a verifiable provenance watermark
+        # (the reference's own streaming path emits unwatermarked audio;
+        # this surface does not).
         self.send_response(200)
         self.send_header(
             "Content-Type", "audio/pcm;rate=%d;encoding=float32" % self.sample_rate
         )
         self.send_header("Transfer-Encoding", "chunked")
         self.end_headers()
+        group_samples = 4 * self.sample_rate if self.watermarker else 0
+        buf = []
+
+        def flush(chunks):
+            if not chunks:
+                return
+            raw = np.concatenate(chunks).astype(np.float32)
+            raw = self._maybe_watermark(raw).astype(np.float32).tobytes()
+            self.wfile.write(b"%x\r\n" % len(raw) + raw + b"\r\n")
+            self.wfile.flush()
+
         try:
             while True:
                 chunk = session.chunks.get(timeout=600)
                 if chunk is None:
                     break
-                raw = np.asarray(chunk, np.float32).tobytes()
-                self.wfile.write(b"%x\r\n" % len(raw) + raw + b"\r\n")
-                self.wfile.flush()
+                buf.append(np.asarray(chunk, np.float32))
+                if sum(len(c) for c in buf) >= group_samples:
+                    flush(buf)
+                    buf = []
+            if session.error is not None:
+                # abort WITHOUT the clean terminator: the client sees a
+                # truncated chunked body, not a well-formed empty success
+                logger.error("stream session failed: %s", session.error)
+                self.close_connection = True
+                return
+            flush(buf)
             self.wfile.write(b"0\r\n\r\n")
         except (BrokenPipeError, ConnectionResetError):
             session.cancel()  # client hung up: free the slot
+            self.close_connection = True
+        except Exception:
+            logger.exception("stream aborted")
+            session.cancel()
+            self.close_connection = True
+
+    def _maybe_watermark(self, audio: np.ndarray) -> np.ndarray:
+        if self.watermarker is None or not len(audio):
+            return audio
+        from sesameai_tts_tpu.audio.resample import resample
+        from sesameai_tts_tpu.watermark.api import watermark
+
+        wm, key = self.watermarker
+        out, rate = watermark(wm, audio, self.sample_rate, key)
+        if rate != self.sample_rate:
+            out = resample(out, rate, self.sample_rate)
+        return out
 
 
 def serve(engine: BatchedTTSServer, host: str = "0.0.0.0", port: int = 8080,
           voices: Optional[dict] = None,
-          sample_rate: int = 24_000) -> ThreadingHTTPServer:
-    """Start the HTTP front end (returns the server; call .shutdown())."""
+          sample_rate: int = 24_000,
+          watermarker=None) -> ThreadingHTTPServer:
+    """Start the HTTP front end (returns the server; call .shutdown()).
+
+    ``watermarker``: optional (Watermarker, key) pair — REQUIRED for
+    flagship deployments so the public endpoint never emits
+    unwatermarked audio (the CLI enforces the same invariant)."""
     handler = type(
         "BoundHandler", (TTSRequestHandler,),
-        {"engine": engine, "voices": voices or {}, "sample_rate": sample_rate},
+        {"engine": engine, "voices": voices or {}, "sample_rate": sample_rate,
+         "watermarker": watermarker},
     )
     httpd = ThreadingHTTPServer((host, port), handler)
     threading.Thread(target=httpd.serve_forever, daemon=True).start()
@@ -214,9 +272,17 @@ def main(argv=None):
             # voice reuses it (no per-request context prefill)
             voices[name] = gen.precompute_context_state(segments)
 
+    wm = None
+    if args.flavor != "test-tiny":
+        # flagship audio is always watermarked (same invariant as the CLI)
+        from sesameai_tts_tpu.watermark.api import CSM_1B_WATERMARK, load_watermarker
+
+        wm = (load_watermarker(), CSM_1B_WATERMARK)
+
     engine = BatchedTTSServer(gen, slots=args.slots)
     engine.start()
-    httpd = serve(engine, args.host, args.port, voices, gen.sample_rate)
+    httpd = serve(engine, args.host, args.port, voices, gen.sample_rate,
+                  watermarker=wm)
     try:
         threading.Event().wait()
     except KeyboardInterrupt:

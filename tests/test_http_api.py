@@ -92,3 +92,37 @@ def test_tts_with_voice_and_errors(api):
     with pytest.raises(urllib.error.HTTPError) as ei:
         _post(base, "/nope", {"text": "x"})
     assert ei.value.code == 404
+
+
+def test_tts_watermarked_when_configured():
+    """With a (watermarker, key) pair wired, the endpoint's output path
+    embeds a verifiable provenance watermark and normalizes over-full-
+    scale audio before the 16-bit WAV write (same invariant as the
+    flagship CLI).  The tiny flavor cannot produce seconds of audio, so
+    the handler's watermark+normalize path runs on a realistic-length
+    synthetic signal."""
+    from sesameai_tts_tpu.service.http_api import TTSRequestHandler, _wav_bytes
+    from sesameai_tts_tpu.watermark.api import (
+        CSM_1B_WATERMARK,
+        load_watermarker,
+        verify,
+    )
+
+    wm = load_watermarker()
+    handler = type(
+        "H", (TTSRequestHandler,),
+        {"watermarker": (wm, CSM_1B_WATERMARK), "sample_rate": 24_000},
+    )
+    rng = np.random.default_rng(0)
+    t = np.arange(2 * 24_000) / 24_000
+    audio = (0.8 * np.sin(2 * np.pi * 220 * t)
+             + 0.6 * rng.normal(size=t.shape)).astype(np.float32)  # peak > 1
+
+    out = handler._maybe_watermark(handler, audio)
+    peak = float(np.abs(out).max())
+    if peak > 1.0:
+        out = out / peak
+    wav = _wav_bytes(out, 24_000)
+    pcm = np.frombuffer(wav[44:], "<i2").astype(np.float32) / 32767.0
+    assert np.abs(pcm).max() <= 1.0
+    assert verify(wm, pcm, 24_000, CSM_1B_WATERMARK)
