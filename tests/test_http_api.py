@@ -8,14 +8,14 @@ import urllib.request
 import numpy as np
 import pytest
 
-from sesameai_tts_tpu.runtime.loader import build_generator, test_tiny_spec
+from sesameai_tts_tpu.runtime.loader import build_generator, test_tiny_spec as tiny_spec
 from sesameai_tts_tpu.runtime.serving import BatchedTTSServer
 from sesameai_tts_tpu.service.http_api import serve
 
 
 @pytest.fixture(scope="module")
 def api():
-    gen = build_generator(test_tiny_spec(), decode_chunk_frames=4)
+    gen = build_generator(tiny_spec(), decode_chunk_frames=4)
     engine = BatchedTTSServer(gen, slots=2, chunk_frames=4)
     engine.start()
     from sesameai_tts_tpu.runtime.frames import Segment

@@ -59,7 +59,7 @@ def test_matches_hf_llama(params, rope_cs):
     model = build_hf_llama(params, CFG)
     with torch.no_grad():
         theirs = model(
-            inputs_embeds=torch.from_numpy(np.asarray(x, np.float32))
+            inputs_embeds=torch.from_numpy(np.array(x, np.float32))
         ).last_hidden_state.numpy()
 
     np.testing.assert_allclose(np.asarray(ours), theirs, rtol=2e-4, atol=2e-4)
