@@ -298,6 +298,13 @@ def qdot(x: jnp.ndarray, w: Union[jnp.ndarray, dict]) -> jnp.ndarray:
     Small-S (decode) on TPU → Pallas dequant kernel; otherwise dequant +
     plain dot (compute-bound regime / CPU tests).
     x: (..., in); w: (in, out) array or quant dict.
+
+    Precision contract: every quantized Pallas path computes the dot in
+    bf16 activations × bf16-dequantized weights with f32 accumulation
+    (the int4 kernels cast x explicitly; the int8 kernel dequantizes the
+    weight to bf16, which makes the MXU compute bf16-grade even for f32
+    x).  An f32 caller gets f32 back, but not f32 dot precision — same
+    contract across int8/int4/int4n.
     """
     if isinstance(w, dict) and "qn" in w:
         lead = x.shape[:-1]
@@ -430,7 +437,9 @@ def quantize_csm(
 ) -> dict:
     """Quantize the trunks; embeddings and the small per-frame heads
     (codebook0_head, audio_head, projection) stay bf16 — their traffic
-    is ~2% of the trunks'.  ``bits=4`` uses group-128 int4 packing."""
+    is ~2% of the trunks'.  ``bits=4`` packs nibbles with half-matrix
+    scale groups (group = in_dim/2, see ``quantize_trunk``); group=128
+    is opt-in via ``quantize_trunk(..., group=128)``."""
     out = dict(params)
     if backbone:
         out["backbone"] = quantize_trunk(params["backbone"], bits)

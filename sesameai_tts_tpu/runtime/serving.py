@@ -207,6 +207,25 @@ class BatchedTTSServer:
             self._thread.join(timeout=10)
         if self._admitter:
             self._admitter.join(timeout=10)
+        # Sessions still queued (_pending/_ready) or attached to a slot
+        # when the threads exit must observe termination — a listener
+        # blocked in audio() with no timeout would otherwise hang forever.
+        err = RuntimeError("server stopped")
+        for q in (self._pending, self._ready):
+            while True:
+                try:
+                    item = q.get_nowait()
+                except queue.Empty:
+                    break
+                s = item if isinstance(item, Session) else item[0]
+                s.error = err
+                s.chunks.put(None)
+        for slot in range(self.B):
+            s = self._sessions[slot]
+            if s is not None:
+                s.error = err
+                self._sessions[slot] = None
+                s.chunks.put(None)
 
     # -- admission (worker thread: prefill + host syncs off the tick) ---------
 
@@ -242,12 +261,17 @@ class BatchedTTSServer:
             frame_np = arr0[1 : 1 + K].reshape(1, K)
             wav0 = arr0[1 + K :].view(np.float32)
             item = (session, frame, state1, done1_np, max_gen, frame_np, wav0, ms1)
+            placed = False
             while self._running:  # bounded queue: block without hanging stop()
                 try:
                     self._ready.put(item, timeout=0.2)
+                    placed = True
                     break
                 except queue.Full:
                     continue
+            if not placed:  # stop() raced the bounded put: terminate cleanly
+                session.error = RuntimeError("server stopped")
+                session.chunks.put(None)
 
     def _attach(self, slot: int, item) -> None:
         """Scatter a prefilled session into an idle slot (tick thread)."""

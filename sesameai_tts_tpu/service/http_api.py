@@ -132,6 +132,10 @@ class TTSRequestHandler(BaseHTTPRequestHandler):
             try:
                 audio = session.audio(timeout=600)
             except Exception as e:
+                # a timeout leaves the session still decoding: cancel it so
+                # the slot doesn't keep burning its full max_audio_length_ms
+                # budget for a client that already got the error
+                session.cancel()
                 self._error(500, f"generation failed: {e}")
                 return
             audio = self._maybe_watermark(audio)

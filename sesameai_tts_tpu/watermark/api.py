@@ -6,17 +6,23 @@
 compare message to key (reference watermarking.py:43-59).
 ``check_audio_from_file`` + CLI: reference watermarking.py:12-17, 62-69.
 
-**Interoperability caveat**: the underlying scheme (watermark/dsp.py) is
-this framework's own STFT spread-spectrum watermark, NOT the learned
-silentcipher model — audio marked here is not detectable by
-silentcipher-based verifiers and vice versa.  API and key semantics
-match, so swapping in a converted silentcipher model later changes no
-call sites.
+Two interchangeable backends behind one API:
+
+* **net** (watermark/net.py): JAX port of the silentcipher 44.1 kHz
+  encoder/decoder network + torch checkpoint converter — selected when
+  ``load_watermarker(ckpt_path=...)`` points at a silentcipher
+  checkpoint (or ``SILENTCIPHER_CKPT`` is set).  With the published
+  weights this is bit-for-bit the reference's provenance scheme.
+* **dsp** (watermark/dsp.py): this framework's self-verifying STFT
+  spread-spectrum watermark — the no-weights default in environments
+  (like this one) without the silentcipher checkpoint.  Same key/API
+  semantics, NOT silentcipher-interoperable (disclosed).
 """
 
 from __future__ import annotations
 
-from typing import List, Tuple
+import os
+from typing import List, Optional, Tuple
 
 import numpy as np
 
@@ -27,26 +33,49 @@ from sesameai_tts_tpu.watermark.dsp import (
     CSM_1B_WATERMARK,
     WATERMARK_RATE,
     Watermarker,
-    load_watermarker,
 )
+from sesameai_tts_tpu.watermark.dsp import load_watermarker as _load_dsp
+
+
+def load_watermarker(
+    verify_threshold: float = None,
+    blind_threshold: float = None,
+    ckpt_path: Optional[str] = None,
+    hparams: Optional[dict] = None,
+):
+    """Parity constructor (reference watermarking.py:20-25).
+
+    With a silentcipher checkpoint (``ckpt_path`` argument or the
+    ``SILENTCIPHER_CKPT`` env var) this returns the ported learned
+    network (watermark/net.py); otherwise the DSP scheme.  Both expose
+    ``encode_wav`` / ``decode_wav`` exactly as the reference calls them."""
+    ckpt_path = ckpt_path or os.environ.get("SILENTCIPHER_CKPT")
+    if ckpt_path:
+        from sesameai_tts_tpu.watermark.net import load_silentcipher_checkpoint
+
+        return load_silentcipher_checkpoint(ckpt_path, hparams)
+    return _load_dsp(verify_threshold, blind_threshold)
 
 
 def watermark(
-    watermarker: Watermarker,
+    watermarker,
     audio: np.ndarray,
     sample_rate: int,
     watermark_key: List[int],
-    message_sdr: float = 30.0,
+    message_sdr: Optional[float] = None,
 ) -> Tuple[np.ndarray, int]:
     """Embed → resample like the reference (watermarking.py:28-40).
 
-    Default strength is 30 dB message-SDR (the reference's learned
-    silentcipher runs at 36 dB; this framework's DSP watermark needs
-    ~6 dB more energy for reliable verification across signals —
+    Strength defaults to the backend's calibration: 36 dB message-SDR
+    for the ported silentcipher network (the reference's value,
+    watermarking.py:37) and 30 dB for the DSP scheme, which needs ~6 dB
+    more embedded energy for reliable verification across signals —
     measured verify-confidence 5.2-6.7 at 30 dB vs a threshold of 4,
     robust to gain changes, 16-bit quantization, resampling and leading
-    trims, which the decoder re-synchronizes via an offset × grid-phase
-    search).  Not silentcipher-compatible — see the module docstring."""
+    trims (the decoder re-synchronizes those via an offset × grid-phase
+    search)."""
+    if message_sdr is None:
+        message_sdr = getattr(watermarker, "default_message_sdr", 30.0)
     audio_44k = resample(audio, sample_rate, WATERMARK_RATE)
     encoded, _ = watermarker.encode_wav(
         audio_44k, WATERMARK_RATE, watermark_key, calc_sdr=False, message_sdr=message_sdr
@@ -57,7 +86,7 @@ def watermark(
 
 
 def verify(
-    watermarker: Watermarker,
+    watermarker,
     watermarked_audio: np.ndarray,
     sample_rate: int,
     watermark_key: List[int],

@@ -236,6 +236,9 @@ class Watermarker:
     def __init__(self, verify_threshold: float = 4.0, blind_threshold: float = 3.7):
         self.verify_threshold = verify_threshold
         self.blind_threshold = blind_threshold
+        # calibrated embed strength (watermark/api.py picks it up; the
+        # learned-net backend runs at the reference's 36 dB instead)
+        self.default_message_sdr = 30.0
 
     def encode_wav(
         self,
@@ -306,7 +309,7 @@ class Watermarker:
 
 def load_watermarker(verify_threshold: float = None, blind_threshold: float = None) -> Watermarker:
     """Parity constructor (reference watermarking.py:20-25). Defaults
-    come from the Watermarker class (calibrated: verify 4.0, blind 3.6)."""
+    come from the Watermarker class (calibrated: verify 4.0, blind 3.7)."""
     kw = {}
     if verify_threshold is not None:
         kw["verify_threshold"] = verify_threshold

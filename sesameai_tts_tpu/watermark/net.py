@@ -1,0 +1,477 @@
+"""JAX port of the silentcipher watermark network (44.1 kHz).
+
+Closes the C10/C-N3 gap (reference sesameai/watermarking.py:20-59): the
+reference watermarks via sony/silentcipher's *learned* encoder/decoder.
+This module ports that network topology to JAX plus a torch state-dict
+converter, so dropping a silentcipher 44.1k checkpoint into
+``load_watermarker(ckpt_path=...)`` runs the learned watermark on-TPU.
+Without a checkpoint the framework keeps the self-verifying DSP scheme
+(watermark/dsp.py) behind the same API — selection in watermark/api.py.
+
+Topology (reconstructed from the public sony/silentcipher release —
+Encoder / CarrierDecoder / MsgDecoder stacks of Conv2d(+BatchNorm)+ReLU
+blocks operating on the magnitude STFT — and the SilentCipher paper,
+arXiv 2406.03822):
+
+  enc_c : conv stack on the carrier magnitude STFT (B,1,F,T) → (B,C,F,T)
+  enc_m : per-byte embedding table (256, F) tiled across time — one
+          channel per message byte
+  dec_c : conv stack on concat(mag, enc_c(mag), msg channels) →
+          (B,1,F,T) additive magnitude-domain residual
+  dec_m : conv stack(s) on mag → per-byte logits over 256 per time frame
+
+  encode: ``y = x + α·istft(resid·e^{iφ})`` with α solved in closed form
+          for the target message SDR — the iSTFT is linear in the
+          residual at fixed phase, so the SDR constraint is exact.
+          SDR-controlled embedding is silentcipher's headline mechanism
+          (the paper replaces a GAN discriminator with an SDR bound).
+  decode: per-byte softmax over 256 averaged across frames → argmax;
+          confidence = mean max-probability; ``phase_shift_decoding``
+          retries sub-hop sample shifts and keeps the best confidence
+          (semantics of reference watermarking.py:51).
+
+The published checkpoint's exact hidden sizes / layer counts / STFT
+hyperparameters are not redistributable with the reference, so the
+converter *infers* (layers, channels, message band) from checkpoint
+tensor shapes and takes STFT hparams from the checkpoint's bundled
+``hparams`` dict when present.  The converter contract — top-level
+``enc_c`` / ``dec_c`` / ``dec_m`` / ``enc_m`` state dicts, sequential
+``<stack>.N.conv.weight`` (+ optional ``.bn.*``, folded at load) blocks,
+per-slot or fused-channel message decoders — is locked by
+tests/test_silentcipher.py exactly the way tests/test_mimi_loader.py
+locks the moshi layout.
+"""
+
+from __future__ import annotations
+
+import functools
+import re
+from dataclasses import dataclass, replace
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclass(frozen=True)
+class SilentCipherConfig:
+    sample_rate: int = 44_100
+    n_fft: int = 2048
+    hop: int = 512
+    message_len: int = 5
+    vocab: int = 256
+    # decode: a message counts as present when mean max-prob clears this
+    confidence_threshold: float = 0.5
+    # encode strength if the caller does not pass message_sdr (the
+    # reference calls encode_wav(message_sdr=36), watermarking.py:37)
+    default_message_sdr: float = 36.0
+
+    @property
+    def n_bins(self) -> int:
+        return self.n_fft // 2 + 1
+
+
+def silentcipher_test_tiny() -> SilentCipherConfig:
+    """Small config for CPU tests (torch-parity + fixture round trips)."""
+    return SilentCipherConfig(sample_rate=44_100, n_fft=128, hop=32)
+
+
+# ---------------------------------------------------------------------------
+# conv blocks (torch Conv2d semantics: NCHW / OIHW, SAME padding for odd k)
+# ---------------------------------------------------------------------------
+
+
+def _conv2d(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    kh, kw = w.shape[2], w.shape[3]
+    out = jax.lax.conv_general_dilated(
+        x, w, (1, 1), [(kh // 2, kh - 1 - kh // 2), (kw // 2, kw - 1 - kw // 2)],
+        dimension_numbers=("NCHW", "OIHW", "NCHW"),
+    )
+    return out + b[None, :, None, None]
+
+
+def _stack_apply(blocks: Tuple[dict, ...], x: jnp.ndarray) -> jnp.ndarray:
+    """Sequential Conv(+folded BN)+ReLU blocks; final block linear (the
+    residual / logit heads must span negative values)."""
+    n = len(blocks)
+    for i, p in enumerate(blocks):
+        x = _conv2d(x, p["w"], p["b"])
+        if i < n - 1:
+            x = jax.nn.relu(x)
+    return x
+
+
+# ---------------------------------------------------------------------------
+# STFT — torch.stft(center=True, pad_mode='reflect', hann) semantics
+# ---------------------------------------------------------------------------
+
+
+def _frames_for(n: int, cfg: SilentCipherConfig) -> int:
+    return 1 + n // cfg.hop  # centered: reflect-pad n_fft//2 each side
+
+
+def _stft(x: jnp.ndarray, cfg: SilentCipherConfig, frames: int) -> jnp.ndarray:
+    pad = cfg.n_fft // 2
+    xp = jnp.pad(x, (pad, pad), mode="reflect")
+    win = jnp.asarray(np.hanning(cfg.n_fft + 1)[:-1].astype(np.float32))
+    starts = jnp.arange(frames) * cfg.hop
+    segs = jax.vmap(
+        lambda s: jax.lax.dynamic_slice(xp, (s,), (cfg.n_fft,))
+    )(starts)
+    return jnp.fft.rfft(segs * win, axis=-1)  # (frames, n_bins)
+
+
+def _istft(spec: jnp.ndarray, cfg: SilentCipherConfig, length: int) -> jnp.ndarray:
+    win = jnp.asarray(np.hanning(cfg.n_fft + 1)[:-1].astype(np.float32))
+    frames = spec.shape[0]
+    segs = jnp.fft.irfft(spec, n=cfg.n_fft, axis=-1) * win
+    total = (frames - 1) * cfg.hop + cfg.n_fft
+    out = jnp.zeros((total,), jnp.float32)
+    wsum = jnp.zeros((total,), jnp.float32)
+
+    def body(i, carry):
+        out, wsum = carry
+        s = i * cfg.hop
+        out = jax.lax.dynamic_update_slice(
+            out, jax.lax.dynamic_slice(out, (s,), (cfg.n_fft,)) + segs[i], (s,)
+        )
+        wsum = jax.lax.dynamic_update_slice(
+            wsum, jax.lax.dynamic_slice(wsum, (s,), (cfg.n_fft,)) + win * win, (s,)
+        )
+        return out, wsum
+
+    out, wsum = jax.lax.fori_loop(0, frames, body, (out, wsum))
+    pad = cfg.n_fft // 2
+    return (out / jnp.maximum(wsum, 1e-8))[pad : pad + length]
+
+
+# ---------------------------------------------------------------------------
+# jitted encode / decode programs (bucketed frame counts)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "frames"))
+def _embed_jit(params, cfg: SilentCipherConfig, x, message, frames, n_valid):
+    spec = _stft(x, cfg, frames)
+    mag = jnp.abs(spec)
+    phase = spec / (mag + 1e-8)
+    mag4 = mag.T[None, None]  # (1, 1, F, T)
+    feats = _stack_apply(params["enc_c"], mag4)
+    msg = params["enc_m"][message]  # (message_len, n_bins)
+    msg_ch = jnp.broadcast_to(
+        msg[None, :, :, None], (1, msg.shape[0], msg.shape[1], frames)
+    )
+    resid = _stack_apply(
+        params["dec_c"], jnp.concatenate([mag4, feats, msg_ch], axis=1)
+    )[0, 0].T  # (frames, n_bins)
+    resid_wav = _istft(resid * phase, cfg, x.shape[0])
+    # only the un-padded prefix ships; solve α on it exactly
+    mask = (jnp.arange(x.shape[0]) < n_valid).astype(jnp.float32)
+    sig = jnp.sum((x * mask) ** 2)
+    noise = jnp.sum((resid_wav * mask) ** 2)
+    return resid_wav, sig, noise
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "frames"))
+def _decode_jit(params, cfg: SilentCipherConfig, x, frames, n_valid_frames):
+    mag = jnp.abs(_stft(x, cfg, frames))
+    mag4 = mag.T[None, None]
+    stacks = params["dec_m"]
+    if len(stacks) == cfg.message_len and cfg.message_len > 1:
+        # ModuleList layout: one head per byte, vocab on the channel axis
+        logits = jnp.stack(
+            [_stack_apply(s, mag4)[0].mean(axis=1) for s in stacks], axis=0
+        )  # (slots, vocab, T)
+    else:  # single stack, fused channels (message_len*vocab, F, T)
+        out = _stack_apply(stacks[0], mag4)[0]
+        logits = out.mean(axis=1).reshape(cfg.message_len, cfg.vocab, frames)
+    probs = jax.nn.softmax(logits, axis=1)  # (slots, vocab, T)
+    fmask = (jnp.arange(frames) < n_valid_frames).astype(jnp.float32)
+    probs = (probs * fmask).sum(axis=-1) / jnp.maximum(fmask.sum(), 1.0)
+    return probs  # (message_len, vocab) time-averaged probabilities
+
+
+def _bucket_frames(frames: int) -> int:
+    return 1 << max(4, (frames - 1).bit_length())
+
+
+class NetWatermarker:
+    """silentcipher ``server.Model`` API surface over the ported network
+    (encode_wav / decode_wav exactly as the reference calls them,
+    watermarking.py:36, 51)."""
+
+    def __init__(self, params: dict, cfg: SilentCipherConfig):
+        self.params = params
+        self.cfg = cfg
+        self.default_message_sdr = cfg.default_message_sdr
+
+    # -- embed ---------------------------------------------------------------
+
+    def encode_wav(
+        self,
+        audio: np.ndarray,
+        sample_rate: int,
+        message: List[int],
+        calc_sdr: bool = False,
+        message_sdr: Optional[float] = None,
+    ) -> Tuple[np.ndarray, Optional[float]]:
+        cfg = self.cfg
+        assert sample_rate == cfg.sample_rate, "encode operates at 44.1 kHz"
+        assert len(message) == cfg.message_len
+        sdr = cfg.default_message_sdr if message_sdr is None else message_sdr
+        x = np.asarray(audio, np.float32).reshape(-1)
+        n = len(x)
+        frames = _bucket_frames(_frames_for(n, cfg))
+        need = frames * cfg.hop
+        xp = np.pad(x, (0, max(0, need - n)))
+        resid_wav, sig, noise = _embed_jit(
+            self.params, cfg, jnp.asarray(xp),
+            jnp.asarray(message, jnp.int32), frames, jnp.int32(n),
+        )
+        alpha = float(np.sqrt(float(sig) / max(float(noise), 1e-20))) * (
+            10.0 ** (-sdr / 20.0)
+        )
+        y = x + alpha * np.asarray(resid_wav)[:n]
+        out_sdr = None
+        if calc_sdr:
+            err = y - x
+            out_sdr = 10.0 * np.log10(
+                float(np.sum(x**2)) / max(float(np.sum(err**2)), 1e-20)
+            )
+        return y, out_sdr
+
+    # -- decode ---------------------------------------------------------------
+
+    def decode_wav(
+        self,
+        audio: np.ndarray,
+        sample_rate: int,
+        phase_shift_decoding: bool = False,
+        expected_message: Optional[List[int]] = None,
+    ) -> dict:
+        cfg = self.cfg
+        assert sample_rate == cfg.sample_rate
+        x = np.asarray(audio, np.float32).reshape(-1)
+        offsets = (
+            [i * max(1, cfg.hop // 4) for i in range(4)]
+            if phase_shift_decoding
+            else [0]
+        )
+        best = None
+        for off in offsets:
+            xo = x[off:]
+            n = len(xo)
+            nf = _frames_for(n, cfg)
+            frames = _bucket_frames(nf)
+            xp = np.pad(xo, (0, max(0, frames * cfg.hop - n)))
+            probs = np.asarray(
+                _decode_jit(self.params, cfg, jnp.asarray(xp), frames,
+                            jnp.int32(nf))
+            )
+            conf = float(probs.max(axis=1).mean())
+            if best is None or conf > best[0]:
+                best = (conf, probs)
+        conf, probs = best
+        message = [int(v) for v in probs.argmax(axis=1)]
+        status = conf >= cfg.confidence_threshold
+        result = {
+            "status": bool(status),
+            "messages": [message] if status else [],
+            "confidence": conf,
+        }
+        if expected_message is not None:
+            result["expected_confidence"] = float(
+                np.mean([probs[s, expected_message[s]]
+                         for s in range(cfg.message_len)])
+            )
+        return result
+
+
+# ---------------------------------------------------------------------------
+# torch state-dict converter
+# ---------------------------------------------------------------------------
+
+_BLOCK_RE = re.compile(r"^(?:(?P<slot>\d+)\.)?(?:\w+\.)?(?P<idx>\d+)\.(?P<rest>.+)$")
+
+
+def _fold_block(entries: dict) -> dict:
+    """One sequential block {conv.weight, conv.bias?, bn.*?} → folded
+    {"w", "b"} (BatchNorm folded in eval mode, torch semantics)."""
+    w = None
+    for k in ("conv.weight", "weight"):
+        if k in entries:
+            w = np.asarray(entries[k], np.float32)
+            b = np.asarray(
+                entries.get(k.replace("weight", "bias"),
+                            np.zeros(w.shape[0], np.float32)),
+                np.float32,
+            )
+            break
+    if w is None:
+        raise ValueError(f"block without conv weight: {sorted(entries)}")
+    if any(k.startswith("bn.") for k in entries):
+        eps = 1e-5
+        gamma = np.asarray(entries.get("bn.weight", np.ones(w.shape[0])), np.float32)
+        beta = np.asarray(entries.get("bn.bias", np.zeros(w.shape[0])), np.float32)
+        mean = np.asarray(entries["bn.running_mean"], np.float32)
+        var = np.asarray(entries["bn.running_var"], np.float32)
+        s = gamma / np.sqrt(var + eps)
+        w = w * s[:, None, None, None]
+        b = (b - mean) * s + beta
+    return {"w": jnp.asarray(w), "b": jnp.asarray(b)}
+
+
+def _collect_stack(sd: dict) -> Tuple[dict, ...]:
+    """Sequential ``<anything>.N.(conv|bn).*`` keys → ordered folded blocks.
+
+    Tolerates both ``main.N.conv.weight`` (silentcipher's ReluBlock
+    container) and bare ``N.weight`` final convs."""
+    blocks: dict = {}
+    for key, val in sd.items():
+        m = _BLOCK_RE.match(key)
+        if not m or m.group("slot") is not None:
+            continue
+        blocks.setdefault(int(m.group("idx")), {})[m.group("rest")] = val
+    if not blocks:
+        raise ValueError(f"no sequential conv blocks in: {sorted(sd)[:8]}")
+    return tuple(_fold_block(blocks[i]) for i in sorted(blocks))
+
+
+def _split_slots(sd: dict) -> Optional[List[dict]]:
+    """ModuleList layout ``{slot}.<stack>...`` → one sub-dict per slot."""
+    slots: dict = {}
+    for key, val in sd.items():
+        m = re.match(r"^(\d+)\.(.+)$", key)
+        if not m:
+            return None
+        slots.setdefault(int(m.group(1)), {})[m.group(2)] = val
+    return [slots[i] for i in sorted(slots)] if slots else None
+
+
+def convert_silentcipher_state(
+    ckpt: dict, hparams: Optional[dict] = None
+) -> Tuple[dict, SilentCipherConfig]:
+    """silentcipher torch checkpoint → (params pytree, config).
+
+    ``ckpt`` holds per-module state dicts under ``enc_c`` / ``dec_c`` /
+    ``dec_m`` (and the message embedding under ``enc_m``), the layout the
+    public release saves; a flat single state dict with those prefixes is
+    normalized first.  Message-decoder ModuleLists (one head per byte)
+    and fused-channel single stacks are both accepted.  All shapes
+    (channels, layers, message band) come from the tensors; STFT hparams
+    from ``hparams`` when provided."""
+    modules = {k: v for k, v in ckpt.items() if isinstance(v, dict)}
+    if not {"enc_c", "dec_c", "dec_m"} <= set(modules):
+        flat: dict = {}
+        for key, val in ckpt.items():
+            if "." in key:
+                head, rest = key.split(".", 1)
+                flat.setdefault(head, {})[rest] = val
+        modules = flat
+    missing = {"enc_c", "dec_c", "dec_m"} - set(modules)
+    if missing:
+        raise ValueError(f"not a silentcipher checkpoint: missing {sorted(missing)}")
+
+    params = {
+        "enc_c": _collect_stack(modules["enc_c"]),
+        "dec_c": _collect_stack(modules["dec_c"]),
+    }
+
+    emb = None
+    for src in (modules.get("enc_m", {}), modules.get("msg_encoder", {})):
+        for k, v in src.items():
+            if k.endswith("weight") and np.ndim(v) == 2:
+                emb = np.asarray(v, np.float32)
+    if emb is None:
+        raise ValueError("no message embedding table (enc_m.weight) in checkpoint")
+    params["enc_m"] = jnp.asarray(emb)
+
+    slot_sds = _split_slots(modules["dec_m"])
+    if slot_sds is not None:
+        params["dec_m"] = tuple(_collect_stack(s) for s in slot_sds)
+    else:
+        params["dec_m"] = (_collect_stack(modules["dec_m"]),)
+
+    hp = dict(hparams or {})
+    if isinstance(ckpt.get("hparams"), dict):
+        hp = {**ckpt["hparams"], **hp}
+    cfg = SilentCipherConfig(
+        sample_rate=int(hp.get("sample_rate", 44_100)),
+        n_fft=int(hp.get("n_fft", 2048)),
+        hop=int(hp.get("hop_length", hp.get("hop", 512))),
+        message_len=int(hp.get("message_len", 5)),
+        vocab=int(emb.shape[0]),
+    )
+    if emb.shape[1] != cfg.n_bins:
+        # the embedding's band size is authoritative for the STFT grid —
+        # a checkpoint without hparams pins n_fft through it
+        cfg = replace(cfg, n_fft=2 * (emb.shape[1] - 1))
+
+    n_msg_in = params["dec_c"][0]["w"].shape[1]
+    expect = 1 + params["enc_c"][-1]["w"].shape[0] + cfg.message_len
+    if n_msg_in != expect:
+        raise ValueError(
+            f"dec_c input channels {n_msg_in} != 1 + enc_c_out + message_len"
+            f" = {expect}; message_len/hparams mismatch"
+        )
+    return params, cfg
+
+
+def load_silentcipher_checkpoint(path: str, hparams: Optional[dict] = None):
+    """torch .pth/.pt checkpoint file → NetWatermarker."""
+    import torch
+
+    raw = torch.load(path, map_location="cpu", weights_only=False)
+
+    def to_np(tree):
+        if isinstance(tree, dict):
+            return {k: to_np(v) for k, v in tree.items()}
+        if hasattr(tree, "detach"):
+            return tree.detach().cpu().numpy()
+        return tree
+
+    params, cfg = convert_silentcipher_state(to_np(raw), hparams)
+    return NetWatermarker(params, cfg)
+
+
+def init_params(cfg: SilentCipherConfig, key, hidden: int = 32,
+                enc_layers: int = 3, dec_layers: int = 4,
+                msg_layers: int = 3, per_slot_heads: bool = False) -> dict:
+    """Random-init params in the converter's output structure (tests,
+    and the shape template for writing converters the other way)."""
+    ks = iter(jax.random.split(key, 64))
+
+    def blk(cin, cout, k=3):
+        w = jax.random.normal(next(ks), (cout, cin, k, k)) * (
+            1.0 / np.sqrt(cin * k * k)
+        )
+        return {"w": w.astype(jnp.float32), "b": jnp.zeros((cout,), jnp.float32)}
+
+    enc = [blk(1, hidden)] + [blk(hidden, hidden) for _ in range(enc_layers - 1)]
+    dc_in = 1 + hidden + cfg.message_len
+    dec = (
+        [blk(dc_in, hidden)]
+        + [blk(hidden, hidden) for _ in range(dec_layers - 2)]
+        + [blk(hidden, 1)]
+    )
+    if per_slot_heads:
+        dec_m = tuple(
+            tuple([blk(1, hidden)] + [blk(hidden, hidden) for _ in range(msg_layers - 2)]
+                  + [blk(hidden, cfg.vocab)])
+            for _ in range(cfg.message_len)
+        )
+    else:
+        dec_m = (
+            tuple([blk(1, hidden)]
+                  + [blk(hidden, hidden) for _ in range(msg_layers - 2)]
+                  + [blk(hidden, cfg.message_len * cfg.vocab)]),
+        )
+    return {
+        "enc_c": tuple(enc),
+        "dec_c": tuple(dec),
+        "enc_m": jax.random.normal(next(ks), (cfg.vocab, cfg.n_bins)).astype(
+            jnp.float32
+        ),
+        "dec_m": dec_m,
+    }

@@ -247,3 +247,30 @@ def test_mimi_bf16_decode_close_to_f32(mimi):
         axis=-1,
     )
     np.testing.assert_allclose(stream, w16, atol=2e-2)
+
+
+def test_mimi_numerics_regression_pin(mimi):
+    """Train-free codec-quality guard (round-3 VERDICT item 7): a fixed
+    synthetic-weight seed + fixed waveform pin the encode codes EXACTLY
+    and the decode reconstruction statistically.  A numerics-breaking
+    refactor that keeps shapes (conv padding, norm eps, RVQ search,
+    stream-state plumbing) now fails here instead of passing on shapes.
+    Pinned on CPU with jax_default_matmul_precision=highest (conftest)."""
+    m, params = mimi
+    hop = m.cfg.hop_length
+    F = 16
+    t = np.arange(F * hop) / m.cfg.sample_rate
+    wav = (0.5 * np.sin(2 * np.pi * 220 * t)
+           + 0.25 * np.sin(2 * np.pi * 733 * t)).astype(np.float32)
+    codes = m.encode(params, jnp.asarray(wav)[None, None])
+    np.testing.assert_array_equal(
+        np.asarray(codes)[0, :, :4],
+        np.array([[3, 29, 3, 29], [27, 19, 20, 19], [0, 2, 23, 2],
+                  [12, 11, 25, 11], [21, 7, 29, 7], [10, 11, 16, 11],
+                  [3, 3, 1, 3], [2, 26, 6, 26]]),
+    )
+    recon = np.asarray(m.decode(params, codes)[0, 0], np.float32)
+    snr = 10 * np.log10(float(np.sum(wav**2)) / float(np.sum((recon - wav) ** 2)))
+    # random weights -> negative "SNR"; the VALUE is the regression pin
+    assert abs(snr - (-4.0086)) < 0.05, f"codec numerics drifted: snr={snr:.4f}"
+    assert abs(float(recon.std()) - 0.494330) < 5e-4
