@@ -2,13 +2,17 @@
 
 Prints ONE JSON line:
   {"metric": "rtf_proc_per_audio", "value": RTF, "unit": "proc_s/audio_s",
-   "vs_baseline": RTF/0.1}
+   "vs_baseline": RTF/0.1, "rtf_tuned_schedule": RTF_tuned}
 
 RTF = wall-clock processing seconds per second of audio produced by the
 full pipeline (prefill → AR frame decode → Mimi decode), flagship
 CSM-1B shapes (random weights — identical compute profile to real
-ones).  North-star target is RTF ≤ 0.1 (BASELINE.md); vs_baseline < 1
-beats the target.  Secondary metrics go to stderr.
+ones).  The HEADLINE value runs the PRODUCT-DEFAULT dispatch schedule
+(ramped decode chunks, unknown-length/EOS-early ready) — what a user's
+`generate()` call actually executes.  `rtf_tuned_schedule` is the
+fixed-budget best case (decode_chunk_frames=125: the 10 s utterance in
+one dispatch).  North-star target is RTF ≤ 0.1 (BASELINE.md);
+vs_baseline < 1 beats the target.  Secondary metrics go to stderr.
 
 The reference publishes no numbers (BASELINE.md); its measurement
 machinery is per-sentence RTF prints (reference tts_service.py:390-397)
@@ -23,6 +27,32 @@ import time
 import numpy as np
 
 
+def _measure_rtf(gen, text, label, seconds=10.0, runs=7):
+    # warm-up compiles every chunk size the schedule will dispatch
+    t0 = time.time()
+    audio_w = gen.generate(text, 1, [], max_audio_length_ms=2_000,
+                           temperature=0.8, topk=40)
+    print(f"[{label}] warmup 2s: {time.time()-t0:.1f}s "
+          f"({len(audio_w)//gen._hop} frames)", file=sys.stderr)
+    t0 = time.time()
+    gen.generate(text, 1, [], max_audio_length_ms=seconds * 1000,
+                 temperature=0.8, topk=40)
+    print(f"[{label}] warmup {seconds:.0f}s: {time.time()-t0:.1f}s",
+          file=sys.stderr)
+    rtfs = []
+    for i in range(runs):
+        t0 = time.time()
+        audio = gen.generate(text, 1, [], max_audio_length_ms=seconds * 1000,
+                             temperature=0.8, topk=40)
+        proc = time.time() - t0
+        audio_s = len(audio) / gen.sample_rate
+        rtfs.append(proc / audio_s)
+        print(f"[{label}] run {i}: {audio_s:.1f}s audio in {proc:.2f}s "
+              f"(RTF {proc/audio_s:.4f}, {len(audio)/gen._hop/proc:.1f} frames/s)",
+              file=sys.stderr)
+    return float(np.median(rtfs))
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -35,13 +65,6 @@ def main():
     dev = jax.devices()[0]
     print(f"device: {dev}", file=sys.stderr)
 
-    # chunk = the 10 s utterance budget: decode dispatches once per
-    # utterance (the ramped schedule exists for unknown-length/EOS-early
-    # workloads; a fixed-budget bench tunes the knob to the workload)
-    t0 = time.time()
-    gen = build_generator(csm_1b_spec(), decode_chunk_frames=125)
-    print(f"build: {time.time()-t0:.1f}s", file=sys.stderr)
-
     # Prompt sized to a REPRESENTATIVE token count: no Llama tokenizer.json
     # exists in this environment, so the byte fallback tokenizer is in use
     # — it emits ~4 ids per word where Llama-3 BPE emits ~1.3, inflating
@@ -49,28 +72,17 @@ def main():
     # the real tokenizer produces for a typical 40-word TTS sentence.
     text = "The quick brown fox jumps over the lazy valley dog."
 
-    # -- warm-up (compiles prefill bucket, decode chunk, mimi decode) ------
+    # -- headline: PRODUCT-DEFAULT schedule (offline ramp 25→50→100…) ------
     t0 = time.time()
-    audio_w = gen.generate(text, 1, [], max_audio_length_ms=2_000,
-                           temperature=0.8, topk=40)
-    print(f"warmup: {time.time()-t0:.1f}s ({len(audio_w)//gen._hop} frames)",
-          file=sys.stderr)
+    gen = build_generator(csm_1b_spec())
+    print(f"build: {time.time()-t0:.1f}s", file=sys.stderr)
+    rtf = _measure_rtf(gen, text, "default")
 
-    # -- main RTF measurement: 10 s of audio -------------------------------
-    seconds = 10.0
-    runs = 7  # remote-tunnel RTT jitter is ~±5-10%; median-of-7 is stabler
-    rtfs = []
-    for i in range(runs):
-        t0 = time.time()
-        audio = gen.generate(text, 1, [], max_audio_length_ms=seconds * 1000,
-                             temperature=0.8, topk=40)
-        proc = time.time() - t0
-        audio_s = len(audio) / gen.sample_rate
-        rtfs.append(proc / audio_s)
-        print(f"run {i}: {audio_s:.1f}s audio in {proc:.2f}s "
-              f"(RTF {proc/audio_s:.4f}, {len(audio)/gen._hop/proc:.1f} frames/s)",
-              file=sys.stderr)
-    rtf = float(np.median(rtfs))
+    # -- tuned: the 10 s budget in ONE dispatch (fixed-length workloads) ---
+    gen2 = build_generator(csm_1b_spec(), decode_chunk_frames=125)
+    rtf_tuned = _measure_rtf(gen2, text, "tuned125", runs=5)
+    print(f"RTF median: default-schedule {rtf:.4f}, tuned {rtf_tuned:.4f}",
+          file=sys.stderr)
 
     # -- first-audio latency (prefill + 1 frame + 1-frame Mimi stream) ----
     lat = []
@@ -116,29 +128,47 @@ def main():
             f"(incl. Mimi + scheduler)",
             file=sys.stderr,
         )
-
-        # TTFA under load: admit a short session while 3 slots decode
-        long_sess = [
-            server.submit(text, max_audio_length_ms=20_000) for _ in range(3)
-        ]
-        time.sleep(1.0)  # ensure the pool is mid-decode
-        lat_busy = []
-        for _ in range(3):
-            t0 = time.time()
-            s = server.submit(text, max_audio_length_ms=400)
-            first = s.chunks.get(timeout=900)
-            lat_busy.append(time.time() - t0)
-            while first is not None:  # drain to free the slot
-                first = s.chunks.get(timeout=900)
-        print(
-            f"first-audio latency p50 UNDER LOAD (3 busy slots): "
-            f"{1000*float(np.median(lat_busy)):.0f} ms",
-            file=sys.stderr,
-        )
-        for s in long_sess:
-            s.audio(timeout=900)
     finally:
         server.stop()
+
+    # -- slot scaling: TTFA + per-stream RTF at 1/3/7 busy slots -----------
+    server8 = BatchedTTSServer(gen, slots=8, chunk_frames=10)
+    server8.start()
+    try:
+        # warm-up: compile the B=8 scatter/tick/Mimi programs once
+        server8.submit(text, max_audio_length_ms=1_000).audio(timeout=900)
+        for busy in (1, 3, 7):
+            long_sess = [
+                (time.time(),
+                 server8.submit(text, max_audio_length_ms=12_000,
+                                temperature=0.8, topk=40))
+                for _ in range(busy)
+            ]
+            time.sleep(1.0)  # ensure the pool is mid-decode
+            lat_busy = []
+            for _ in range(5):
+                t0 = time.time()
+                s = server8.submit(text, max_audio_length_ms=400)
+                first = s.chunks.get(timeout=900)
+                lat_busy.append(time.time() - t0)
+                while first is not None:  # drain to free the slot
+                    first = s.chunks.get(timeout=900)
+            stream_rtf = []
+            for t_sub, s in long_sess:
+                audio = s.audio(timeout=900)
+                stream_rtf.append(
+                    (time.time() - t_sub) / (len(audio) / gen.sample_rate)
+                )
+            lat_busy.sort()
+            print(
+                f"TTFA with {busy} busy slots: "
+                f"p50 {1000*float(np.median(lat_busy)):.0f} ms, "
+                f"p95 {1000*lat_busy[-1]:.0f} ms; per-stream RTF "
+                f"{float(np.median(stream_rtf)):.4f}",
+                file=sys.stderr,
+            )
+    finally:
+        server8.stop()
 
     # -- batched decode micro (model-only: no Mimi, no scheduler) ----------
     from sesameai_tts_tpu.models import csm as csm_model_b
@@ -195,6 +225,7 @@ def main():
         "value": round(rtf, 4),
         "unit": "proc_s/audio_s",
         "vs_baseline": round(rtf / 0.1, 3),
+        "rtf_tuned_schedule": round(rtf_tuned, 4),
     }))
 
 

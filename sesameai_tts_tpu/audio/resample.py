@@ -73,3 +73,59 @@ def resample_jax(x, orig_rate: int, new_rate: int):
         dimension_numbers=("NCH", "OIH", "NCH"),
     )
     return y[:, 0, :out_len].reshape(batch_shape + (out_len,))
+
+
+class StreamingResampler:
+    """Stateful polyphase resampler: feed() chunks, get settled output.
+
+    Produces BIT-IDENTICAL samples to the offline ``resample`` of the
+    concatenated input (same filter, same centering): output j is
+    ``conv(taps, zero-stuffed x)[j*down + half]`` and is emitted only
+    once every input sample its filter support touches has arrived.
+    Replaces the per-group resample calls in streaming pipelines, whose
+    independent edge paddings put discontinuities at group boundaries.
+
+    Latency: ``half/up`` input samples (~1 ms at the watermark rates).
+    """
+
+    def __init__(self, orig_rate: int, new_rate: int):
+        assert orig_rate != new_rate
+        self.up, self.down, self.taps = _resample_plan(orig_rate, new_rate)
+        self._taps64 = self.taps.astype(np.float64)
+        self.L = len(self.taps)
+        self.half = (self.L - 1) // 2
+        self._buf = np.zeros(0, np.float64)
+        self._start = 0  # absolute input index of _buf[0]
+        self._j = 0  # next output index
+        self._n_in = 0
+
+    def feed(self, x: np.ndarray) -> np.ndarray:
+        """Append input samples; return all newly-settled output samples."""
+        self._buf = np.concatenate([self._buf, np.asarray(x, np.float64)])
+        self._n_in += len(x)
+        # settled: j*down + half < up*n_in (no future input touches them)
+        j_end = (self.up * self._n_in - self.half - 1) // self.down + 1
+        return self._drain(j_end)
+
+    def close(self) -> np.ndarray:
+        """Flush: return the tail, completing ceil(n_in*up/down) outputs
+        (the offline ``resample`` length)."""
+        return self._drain(-(-self._n_in * self.up // self.down))
+
+    def _drain(self, j_end: int) -> np.ndarray:
+        from scipy.signal import upfirdn
+
+        if j_end <= self._j:
+            return np.zeros(0, np.float32)
+        # drop input no output ≥ j still needs
+        lo = max(0, (self._j * self.down + self.half - self.L + 1) // self.up)
+        if lo > self._start:
+            self._buf = self._buf[lo - self._start:]
+            self._start = lo
+        z = upfirdn(self._taps64, self._buf, self.up, 1)
+        m = np.arange(self._j, j_end) * self.down + self.half - self.up * self._start
+        out = np.zeros(j_end - self._j)
+        ok = (m >= 0) & (m < len(z))
+        out[ok] = z[m[ok]]
+        self._j = j_end
+        return out.astype(np.float32)

@@ -301,6 +301,7 @@ def decode_frames(
     temperature=0.8,
     topk: int = 40,
     rope_cs: Optional[jnp.ndarray] = None,
+    start_index=0,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, CSMState]:
     """Generate ``num_frames`` more frames entirely on device.
 
@@ -309,6 +310,12 @@ def decode_frames(
     a sync per 80 ms of audio. Here the feedback embedding, sampling and
     the all-zero-frame EOS rule ride a single ``lax.scan``; the host only
     sees (frames, valid mask, done) once per chunk.
+
+    Per-frame PRNG keys are ``fold_in(key, start_index + i)`` — sampling
+    depends only on (utterance key, absolute frame index), NOT on how
+    the generator batches frames into dispatch chunks, so every chunk
+    schedule (streaming, offline ramp, serving ticks) produces identical
+    frames from the same seed.
 
     Returns (frames (T, B, K), valid (T, B) bool, done (B,), new state).
     """
@@ -340,7 +347,8 @@ def decode_frames(
         out_frame = jnp.where(valid[:, None], new_frame, 0)
         return (new_st, out_frame, new_done), (out_frame, valid)
 
-    keys = jax.random.split(key, num_frames)
+    idx = jnp.asarray(start_index, jnp.int32) + jnp.arange(num_frames, dtype=jnp.int32)
+    keys = jax.vmap(lambda i: jax.random.fold_in(key, i))(idx)
     (state, last_frame, done), (frames, valid) = jax.lax.scan(
         step, (state, prev_frame, prev_done), keys
     )

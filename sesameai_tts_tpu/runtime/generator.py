@@ -71,6 +71,7 @@ class Generator:
         text_tokenizer,
         stream_chunk_frames: int = 1,
         decode_chunk_frames: int = 10,
+        offline_chunk_frames: Optional[int] = None,
         seed: int = 0,
         unroll: bool = True,
         mesh=None,
@@ -133,6 +134,15 @@ class Generator:
         self._hop = mimi.cfg.hop_length
         self._stream_chunk_frames = stream_chunk_frames
         self._decode_chunk_frames = decode_chunk_frames
+        # offline generate() ramps from a bigger base than streaming:
+        # nobody consumes partial audio mid-utterance, so the only cost
+        # of a larger first chunk is EOS-overshoot — and the descend-fit
+        # tail bounds overshoot to < base frames either way
+        self._offline_chunk_frames = (
+            offline_chunk_frames
+            if offline_chunk_frames is not None
+            else max(25, decode_chunk_frames)
+        )
         self._key = jax.random.PRNGKey(seed)
         self._key_lock = threading.Lock()
         self._rope = precompute_rope(csm_cfg.backbone)
@@ -163,23 +173,24 @@ class Generator:
         @functools.partial(
             jax.jit, static_argnames=("num_frames",), donate_argnames=("state",)
         )
-        def decode(params, state, prev_frame, done, key, num_frames, temperature, topk):
+        def decode(params, state, prev_frame, done, key, num_frames, temperature,
+                   topk, start=0):
             return csm_model.decode_frames(
                 params, cfg, state, prev_frame, done, key, num_frames,
-                temperature, topk, rope_cs=self._rope,
+                temperature, topk, rope_cs=self._rope, start_index=start,
             )
 
         @functools.partial(
             jax.jit, static_argnames=("num_frames",), donate_argnames=("state",)
         )
         def decode_packed(params, state, prev_frame, done, key, num_frames,
-                          temperature, topk):
+                          temperature, topk, start=0):
             """decode + results packed into ONE int32 buffer: on
             remote-attached TPUs every host fetch is a network round trip,
             so (frames, valid, done) travel together."""
             frames, valid, done, state = csm_model.decode_frames(
                 params, cfg, state, prev_frame, done, key, num_frames,
-                temperature, topk, rope_cs=self._rope,
+                temperature, topk, rope_cs=self._rope, start_index=start,
             )
             packed = jnp.concatenate([
                 frames.reshape(-1),
@@ -194,7 +205,7 @@ class Generator:
             donate_argnames=("state", "mimi_state"),
         )
         def decode_mimi_packed(params, mimi_params, state, mimi_state, prev_frame,
-                               done, key, num_frames, temperature, topk):
+                               done, key, num_frames, temperature, topk, start=0):
             """One fused chunk: AR decode + streaming Mimi + everything
             the host needs in ONE int32 buffer (frames, valid, done, PCM
             bitcast).  On this remote-attached TPU each fetch is a ~30 ms
@@ -202,7 +213,7 @@ class Generator:
             (frames, then per-slot PCM) — this pays exactly one."""
             frames, valid, done2, state = csm_model.decode_frames(
                 params, cfg, state, prev_frame, done, key, num_frames,
-                temperature, topk, rope_cs=self._rope,
+                temperature, topk, rope_cs=self._rope, start_index=start,
             )
             codes = frames.transpose(1, 2, 0)  # (B, K, n)
             wav, mimi_state = mimi.decode_streaming(mimi_params, codes, mimi_state)
@@ -481,6 +492,11 @@ class Generator:
         emitted = 1
         yield emit(arr0[1 + K :].view(np.float32))
 
+        # ONE utterance key; per-frame keys are fold_in(key, frame index)
+        # inside decode_frames, so the chunk schedule can't change the
+        # sampled audio (stream == offline for the same seed)
+        utt_key = self._next_key()
+        decoded = 1
         done_host = False
         while emitted < max_gen and not done_host:
             # fixed chunk size: an arbitrary tail size would compile a fresh
@@ -489,8 +505,10 @@ class Generator:
             n = decode_chunk
             packed, frame, done, state, mimi_state = self._decode_mimi_packed(
                 self._params, self._mimi_params, state, mimi_state, frame, done,
-                self._next_key(), n, jnp.float32(temperature), topk,
+                utt_key, n, jnp.float32(temperature), topk,
+                jnp.int32(decoded),
             )
+            decoded += n
             arr = np.asarray(packed)
             valid_np = arr[n * K : n * K + n].astype(bool)
             done_host = bool(arr[n * K + n])
@@ -538,12 +556,15 @@ class Generator:
         done_host = False
         pending = None  # (wav_dev on codec chip, n_take) — emitted lag-1
         decode_chunk = decode_chunk or self._decode_chunk_frames
+        utt_key = self._next_key()
+        decoded = 1
         while emitted < max_gen and not done_host:
             n = decode_chunk
             packed, frame, done, state = self._decode_packed(
-                self._params, state, frame, done, self._next_key(), n,
-                jnp.float32(temperature), topk,
+                self._params, state, frame, done, utt_key, n,
+                jnp.float32(temperature), topk, jnp.int32(decoded),
             )
+            decoded += n
             codes_c = jax.device_put(
                 packed[: n * K].reshape(n, 1, K).transpose(1, 2, 0), dev_c
             )
@@ -659,11 +680,23 @@ class Generator:
             codes = jax.device_put(codes, self._codec_device)
         wav_dev = self._mimi_decode(self._mimi_params, codes)
 
-        arr_all = self._fetch_chunks(device_chunks)
+        if self._codec_device is None:
+            # flags + PCM travel in ONE fetch (~30 ms round trip each on
+            # this remote-attached TPU); the concatenate/bitcast are tiny
+            # device ops riding behind the Mimi decode
+            arr = np.asarray(jnp.concatenate(
+                [p for p, _ in device_chunks]
+                + [jax.lax.bitcast_convert_type(wav_dev, jnp.int32)]
+            ))
+            flags_len = sum(n * K + n + 1 for _, n in device_chunks)
+            arr_all, wav_np = arr[:flags_len], arr[flags_len:].view(np.float32)
+        else:  # two-chip split: flags live on the model chip, PCM on codec
+            arr_all = self._fetch_chunks(device_chunks)
+            wav_np = np.asarray(wav_dev)
         n_frames = 1 + sum(
             f.shape[0] for f in self._unpack_chunks(arr_all, device_chunks, max_gen)
         )
-        return np.asarray(wav_dev)[: n_frames * self._hop]
+        return wav_np[: n_frames * self._hop]
 
     def _decode_loop(self, frame, state, done, max_gen, temperature, topk):
         """Run the chunked decode scans; return (packed, n) device handles.
@@ -676,19 +709,25 @@ class Generator:
         generated = 1
         device_chunks = []  # (packed, n) device handles
         prev_packed = None
-        schedule = iter(self._chunk_schedule())
+        base = self._offline_chunk_frames
+        schedule = iter(self._chunk_schedule(base))
+        utt_key = self._next_key()
         while generated < max_gen:
             # dispatch only schedule sizes (arbitrary tail sizes would each
-            # compile a fresh program) but never a chunk that overshoots the
-            # remaining budget by more than necessary: take the ramp value,
-            # or the smallest schedule size covering the remainder
+            # compile a fresh program on the minutes-slow remote compile
+            # service). When the ramp value overshoots the remaining
+            # budget, DESCEND-fit: the largest schedule size ≤ remaining
+            # (bottoming at base), so total overshoot stays < base frames.
+            # The old smallest-size-covering fit decoded up to base·2^k−1
+            # frames past the budget — ~180 ms of pure waste at the
+            # default schedule on a 10 s utterance.
             n = next(schedule)
             remaining = max_gen - generated
             if n > remaining:
-                n = self._fit_chunk(remaining)
+                n = self._fit_chunk(remaining, base)
             packed, frame, done, state = self._decode_packed(
-                self._params, state, frame, done, self._next_key(), n,
-                jnp.float32(temperature), topk,
+                self._params, state, frame, done, utt_key, n,
+                jnp.float32(temperature), topk, jnp.int32(generated),
             )
             generated += n
             device_chunks.append((packed, n))
@@ -749,20 +788,27 @@ class Generator:
             out.extend(self._unpack_chunks(arr_all, device_chunks, max_gen))
         return np.concatenate(out)
 
-    def _chunk_schedule(self):
+    def _chunk_schedule(self, base: Optional[int] = None):
         """Ramped decode-chunk sizes: fast EOS detection early, few
         dispatch boundaries for long generations."""
-        n = self._decode_chunk_frames
+        n = base or self._decode_chunk_frames
         while True:
             yield n
             n = min(n * 2, 200)
 
-    def _fit_chunk(self, remaining: int) -> int:
-        """Smallest schedule size covering `remaining` (bounded compile set)."""
-        n = self._decode_chunk_frames
-        while n < remaining and n < 200:
-            n *= 2
-        return min(n, 200)
+    def _fit_chunk(self, remaining: int, base: Optional[int] = None) -> int:
+        """Largest schedule size ≤ ``remaining`` (descend-fit), bottoming
+        at ``base`` — keeps the compile set bounded to the ramp sizes
+        while bounding budget overshoot to < base frames."""
+        base = base or self._decode_chunk_frames
+        best = base
+        n = base
+        while n <= min(remaining, 200):
+            best = n
+            if n >= 200:
+                break
+            n = min(n * 2, 200)
+        return best
 
     def decode_audio(self, frames: np.ndarray) -> np.ndarray:
         """(F, K) frames → (F*hop,) float PCM via one offline Mimi pass,

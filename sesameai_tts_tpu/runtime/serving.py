@@ -114,6 +114,11 @@ class BatchedTTSServer:
             slots, generator._mimi_dtype
         )
         self._pending: "queue.Queue[Session]" = queue.Queue()
+        # admissions in flight on the worker thread (prefill running or
+        # result waiting for a slot): the tick loop shrinks its dispatch
+        # chunks while this is non-zero so the prefill doesn't queue
+        # behind ~100 ms of in-flight decode (TTFA under load)
+        self._admitting = 0
         # prefilled sessions awaiting a slot. BOUNDED: each entry pins a
         # full B=1 backbone KV cache (+codec state) on device, so the
         # admission worker blocks here instead of prefilling the whole
@@ -241,6 +246,7 @@ class BatchedTTSServer:
                 session.chunks.put(None)
                 continue
             max_gen = int(session.max_audio_length_ms / FRAME_MS)
+            self._admitting += 1  # GIL-atomic; tick thread only reads
             try:
                 frame, state1, done1, max_gen = gen._prefill_utterance(
                     session.text, session.speaker, list(session.context),
@@ -256,6 +262,7 @@ class BatchedTTSServer:
             except Exception as e:
                 session.error = e
                 session.chunks.put(None)
+                self._admitting -= 1
                 continue
             done1_np = bool(arr0[0])
             frame_np = arr0[1 : 1 + K].reshape(1, K)
@@ -272,6 +279,7 @@ class BatchedTTSServer:
             if not placed:  # stop() raced the bounded put: terminate cleanly
                 session.error = RuntimeError("server stopped")
                 session.chunks.put(None)
+            self._admitting -= 1
 
     def _attach(self, slot: int, item) -> None:
         """Scatter a prefilled session into an idle slot (tick thread)."""
@@ -366,6 +374,14 @@ class BatchedTTSServer:
                 return
 
             n = int(min(self.chunk, max(self._budget.max(), 1)))
+            if self._admitting or not self._ready.empty():
+                # attach-priority: an admission is prefilling (its program
+                # queues behind every dispatched tick) or waiting for a
+                # slot — cap the tick so the device drains to it quickly.
+                # TTFA under load was ~180 ms with full 10-frame ticks
+                # ahead of the prefill; 3-frame ticks bound that wait at
+                # ~2×3 frames of decode
+                n = min(n, 3)
             # ONE fused program (AR decode + batched Mimi for all slots),
             # dispatched BEFORE the previous tick's fetch: the ~30 ms
             # round trip rides under this tick's execution.  Emission

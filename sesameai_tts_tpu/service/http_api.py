@@ -157,43 +157,68 @@ class TTSRequestHandler(BaseHTTPRequestHandler):
             return
 
         # /tts/stream — chunked raw float32 PCM, flushed as emitted.
-        # With a watermarker configured (flagship), PCM flushes in ≥4 s
-        # groups so each group carries a verifiable provenance watermark
-        # (the reference's own streaming path emits unwatermarked audio;
-        # this surface does not).
+        # With a watermarker configured (flagship), PCM flows through the
+        # STREAMING embedder (watermark/stream.py): one continuous
+        # watermark grid across the whole response, ~95 ms pipeline
+        # latency, every ≥4 s prefix verifiable.  Backends without
+        # streaming support (the ported silentcipher net) fall back to
+        # ≥4 s watermarked groups.  (The reference's own streaming path
+        # emits unwatermarked audio; this surface does not.)
         self.send_response(200)
         self.send_header(
             "Content-Type", "audio/pcm;rate=%d;encoding=float32" % self.sample_rate
         )
         self.send_header("Transfer-Encoding", "chunked")
         self.end_headers()
-        group_samples = 4 * self.sample_rate if self.watermarker else 0
+        stream_wm = None
+        group_samples = 0
+        if self.watermarker is not None:
+            from sesameai_tts_tpu.watermark.stream import make_streaming_watermarker
+
+            wm, key = self.watermarker
+            stream_wm = make_streaming_watermarker(wm, key, self.sample_rate)
+            if stream_wm is None:
+                group_samples = 4 * self.sample_rate
         buf = []
 
-        def flush(chunks):
+        def send(raw: np.ndarray):
+            if not len(raw):
+                return
+            raw = raw.astype(np.float32).tobytes()
+            self.wfile.write(b"%x\r\n" % len(raw) + raw + b"\r\n")
+            self.wfile.flush()
+
+        def flush_group(chunks):
             if not chunks:
                 return
             raw = np.concatenate(chunks).astype(np.float32)
-            raw = self._maybe_watermark(raw).astype(np.float32).tobytes()
-            self.wfile.write(b"%x\r\n" % len(raw) + raw + b"\r\n")
-            self.wfile.flush()
+            send(self._maybe_watermark(raw).astype(np.float32))
 
         try:
             while True:
                 chunk = session.chunks.get(timeout=600)
                 if chunk is None:
                     break
-                buf.append(np.asarray(chunk, np.float32))
-                if sum(len(c) for c in buf) >= group_samples:
-                    flush(buf)
-                    buf = []
+                pcm = np.asarray(chunk, np.float32)
+                if stream_wm is not None:
+                    send(stream_wm.feed(pcm))
+                elif group_samples:
+                    buf.append(pcm)
+                    if sum(len(c) for c in buf) >= group_samples:
+                        flush_group(buf)
+                        buf = []
+                else:
+                    send(pcm)
             if session.error is not None:
                 # abort WITHOUT the clean terminator: the client sees a
                 # truncated chunked body, not a well-formed empty success
                 logger.error("stream session failed: %s", session.error)
                 self.close_connection = True
                 return
-            flush(buf)
+            if stream_wm is not None:
+                send(stream_wm.close())
+            else:
+                flush_group(buf)
             self.wfile.write(b"0\r\n\r\n")
         except (BrokenPipeError, ConnectionResetError):
             session.cancel()  # client hung up: free the slot

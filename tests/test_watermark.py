@@ -84,3 +84,87 @@ def test_full_pipeline_24k_resample_roundtrip(wm):
     marked, out_rate = watermark(wm, audio_24k, 24_000, CSM_1B_WATERMARK)
     assert out_rate == 24_000
     assert verify(wm, marked, out_rate, CSM_1B_WATERMARK)
+
+
+# ---------------------------------------------------------------------------
+# Streaming watermark (watermark/stream.py): continuous grid, no groups
+# ---------------------------------------------------------------------------
+
+
+def test_streaming_resampler_bit_identical():
+    from sesameai_tts_tpu.audio.resample import StreamingResampler, resample
+
+    rng = np.random.default_rng(11)
+    x = rng.normal(size=31007).astype(np.float32) * 0.3
+    for o, n in [(24_000, WATERMARK_RATE), (WATERMARK_RATE, 24_000)]:
+        ref = resample(x, o, n)
+        sr = StreamingResampler(o, n)
+        outs, i = [], 0
+        while i < len(x):
+            c = int(rng.integers(97, 4001))
+            outs.append(sr.feed(x[i : i + c]))
+            i += c
+        outs.append(sr.close())
+        y = np.concatenate(outs)
+        assert y.shape == ref.shape
+        np.testing.assert_allclose(y, ref, atol=1e-6)
+
+
+def test_streaming_embed_prefixes_verify(wm):
+    """Chunk-fed streaming watermark: the stream AND every ≥4 s prefix a
+    client might capture verify with the standard offline verifier."""
+    from sesameai_tts_tpu.watermark.stream import make_streaming_watermarker
+
+    audio = _speechlike(9.0, 24_000, seed=13)
+    sw = make_streaming_watermarker(wm, CSM_1B_WATERMARK, 24_000)
+    assert sw is not None
+    rng = np.random.default_rng(3)
+    outs, i = [], 0
+    while i < len(audio):
+        c = int(rng.integers(480, 7681))  # 20-320 ms chunks
+        outs.append(sw.feed(audio[i : i + c]))
+        i += c
+    outs.append(sw.close())
+    marked = np.concatenate(outs)
+    assert abs(len(marked) - len(audio)) <= 2
+
+    assert verify(wm, marked, 24_000, CSM_1B_WATERMARK)
+    for prefix_s in (4.0, 6.5):
+        assert verify(wm, marked[: int(prefix_s * 24_000)], 24_000,
+                      CSM_1B_WATERMARK), f"prefix {prefix_s}s failed"
+    # unmarked audio still rejected through the same path
+    assert not verify(wm, audio, 24_000, CSM_1B_WATERMARK)
+
+
+def test_streaming_embed_latency_bounded():
+    """First watermarked samples emerge after ~95 ms of input, not 4 s."""
+    from sesameai_tts_tpu.watermark.stream import StreamingWatermarker
+
+    sw = StreamingWatermarker(CSM_1B_WATERMARK, 24_000)
+    fed = 0
+    chunk = 1920  # one 80 ms engine frame chunk
+    audio = _speechlike(1.0, 24_000, seed=4)
+    for i in range(0, len(audio), chunk):
+        out = sw.feed(audio[i : i + chunk])
+        fed += chunk
+        if len(out):
+            break
+    assert fed <= int(0.25 * 24_000), f"first output after {fed/24_000:.2f}s"
+
+
+def test_streaming_matches_offline_embed_interior(wm):
+    """Stream == offline embed on the shared interior (same grid, same
+    OLA): the streaming path is the same watermark, not a variant."""
+    from sesameai_tts_tpu.watermark.stream import StreamingEmbedder
+
+    audio = _speechlike(5.0, WATERMARK_RATE, seed=21)
+    off, _ = wm.encode_wav(audio, WATERMARK_RATE, CSM_1B_WATERMARK,
+                           message_sdr=30.0)
+    se = StreamingEmbedder(CSM_1B_WATERMARK, message_sdr=30.0)
+    outs = [se.feed(audio[i : i + 4410]) for i in range(0, len(audio), 4410)]
+    outs.append(se.close())
+    stream = np.concatenate(outs)
+    assert len(stream) == len(audio)
+    # interior: past both schemes' leading edge, before the tail bucket
+    lo, hi = 8 * 512 + 2048, len(audio) - (8 * 512 + 2048)
+    np.testing.assert_allclose(stream[lo:hi], off[lo:hi], atol=2e-4)
