@@ -77,6 +77,30 @@ class ChatApp(WebAppBase):
         self.messages = []
         self.llm.history_manager.clear_history()
 
+    def clear_session(self):
+        """Full reset: chat history, LLM history, audio queue (reference
+        web_chat.py:177-192)."""
+        self.clear_ui()
+        super().clear_session()
+        return (
+            [],
+            f"Session cleared. Ready. (Model: {self.current_model}, "
+            f"Voice: {self.current_voice})",
+            None,
+            (0, 0),
+            False,
+        )
+
+    def update_system_prompt(self, new_prompt: str) -> str:
+        """Swap the live system prompt and rebuild the LLM client with it
+        (reference web_chat.py:194-209)."""
+        with self.lock:
+            llm_config.SYSTEM_MESSAGE = (new_prompt or "").strip()
+            err = self._swap_llm(self.current_resolved_alias)
+        if err:
+            return f"Error updating system prompt: {err}"
+        return f"System prompt updated. Model: {self.current_model}"
+
 
 def main(argv=None):
     import argparse
@@ -103,26 +127,53 @@ def main(argv=None):
     spec = test_tiny_spec() if args.flavor == "test-tiny" else csm_1b_spec()
     app = ChatApp(voice=args.voice, model=args.model, spec=spec, voices=args.voices)
 
-    with gr.Blocks(title="Sesame Chat (TPU)") as demo:
-        chatbot = gr.Chatbot(type="messages")
-        status = gr.Textbox(label="Status", interactive=False)
-        audio_out = gr.Audio(autoplay=True, streaming=True, visible=True)
-        with gr.Row():
-            query = gr.Textbox(label="Say something", scale=4)
-            send = gr.Button("Send", scale=1)
-        with gr.Row():
-            temp = gr.Slider(0.1, 1.2, value=0.9, label="Temperature")
-            speed = gr.Slider(1.0, 1.6, value=1.2, label="Speech speed")
-            voice_dd = gr.Dropdown(
-                choices=app.list_available_voices(), value=app.current_voice,
-                label="Voice",
-            )
-            model_dd = gr.Dropdown(
-                choices=app.available_models, value=app.current_model, label="Model"
-            )
-
+    # layout mirrors the reference UI (reference web_chat.py:242-316):
+    # controls column (player, status, prompt editor, model/voice/sliders)
+    # beside the chat column (transcript + input + send/clear)
+    with gr.Blocks(title="Sesame Chat (TPU)", theme=gr.themes.Soft()) as demo:
+        gr.Markdown("# 💬 Chat with TTS")
         state_active = gr.State(False)
         state_range = gr.State((0, 0))
+
+        with gr.Row():
+            with gr.Column(scale=1):
+                audio_out = gr.Audio(
+                    label="TTS Narration", autoplay=True, streaming=True,
+                    show_download_button=False, interactive=False,
+                )
+                status = gr.Textbox(label="Status", lines=3, interactive=False,
+                                    value="Ready.")
+                with gr.Accordion("System Prompt", open=False):
+                    prompt_editor = gr.Textbox(
+                        label="Edit System Prompt", lines=5, interactive=True,
+                        value=COMPANION_SYSTEM_PROMPT,
+                    )
+                    update_prompt = gr.Button("Update System Prompt",
+                                              variant="secondary")
+                model_dd = gr.Dropdown(
+                    choices=app.available_models, value=app.current_model,
+                    label="Select Model", interactive=True,
+                )
+                voice_dd = gr.Dropdown(
+                    choices=app.list_available_voices(), value=app.current_voice,
+                    label="Select Voice", interactive=True,
+                )
+                temp = gr.Slider(0.1, 1.2, step=0.1, value=0.9,
+                                 label="Temperature")
+                speed = gr.Slider(
+                    0.75, 2.0, step=0.05, value=1.0, label="Speech Speed",
+                    info="Higher values = faster speech (1.0 = normal speed)",
+                )
+
+            with gr.Column(scale=2):
+                chatbot = gr.Chatbot(height=600, type="messages")
+                query = gr.Textbox(
+                    placeholder="Type your message here...", lines=1,
+                    show_label=False, autofocus=True,
+                )
+                with gr.Row():
+                    send = gr.Button("Send", variant="primary")
+                    clear = gr.Button("Clear Conversation", variant="stop")
 
         def on_submit(q, t):
             final = None
@@ -150,8 +201,13 @@ def main(argv=None):
         ).then(lambda: "", [], [query]).then(
             on_audio, [state_range, state_active, temp, speed], [audio_out]
         )
+        clear.click(
+            app.clear_session, [],
+            [chatbot, status, audio_out, state_range, state_active],
+        )
         voice_dd.change(app.change_voice, [voice_dd], [status])
         model_dd.change(app.change_model, [model_dd], [status])
+        update_prompt.click(app.update_system_prompt, [prompt_editor], [status])
 
     demo.queue(max_size=20).launch(server_name="0.0.0.0", server_port=args.port)
 

@@ -37,6 +37,8 @@ class StorytellerApp(WebAppBase):
         # one list of clips per prompt (reference web_storyteller.py:30-41)
         self.prompt_audio_segments: List[List[AudioClip]] = []
         self.story_parts: List[str] = []
+        self.generated_prompt_wav_paths: List[str] = []  # per-prompt WAVs for
+        #   the UI's segment-files list (reference web_storyteller.py:30-41)
         self.session_dir = os.path.join(tempfile.gettempdir(), "storyteller_audio")
         self._reset_session_dir()
 
@@ -47,10 +49,14 @@ class StorytellerApp(WebAppBase):
 
     # -- story advancement --------------------------------------------------
 
-    def continue_story(self, prompt: str, use_llm: bool = True):
+    def continue_story(self, prompt: str, use_llm: bool = True,
+                       is_continuation: bool = True):
         """Either ask the LLM to continue with `prompt`, or treat `prompt`
         as pasted story text directly (the two tab modes,
-        reference web_storyteller.py:433-452).
+        reference web_storyteller.py:433-452).  ``is_continuation=False``
+        is the "Start New Story/Text" button: the running story, its
+        audio groups and saved WAVs are discarded first (reference's
+        is_continuation flag, web_storyteller.py:556-609).
 
         Yields (story_text, status, start_idx, end_idx, active,
         replay_audio). When continuing an existing story, ``replay_audio``
@@ -62,6 +68,9 @@ class StorytellerApp(WebAppBase):
         if not prompt:
             yield self.story_text, "Empty prompt.", 0, 0, False, None
             return
+
+        if not is_continuation and self.story_parts:
+            self.reset_story()
 
         if use_llm:
             yield self.story_text, "Writing the next part...", 0, 0, False, None
@@ -124,6 +133,7 @@ class StorytellerApp(WebAppBase):
         )
         combined.export(path)
         self.temp_audio_files.append(path)
+        self.generated_prompt_wav_paths.append(path)
         return path
 
     def combine_full_story(self) -> Optional[str]:
@@ -154,8 +164,16 @@ class StorytellerApp(WebAppBase):
     def reset_story(self):
         self.story_parts = []
         self.prompt_audio_segments = []
+        self.generated_prompt_wav_paths = []
         self.clear_session()
         self._reset_session_dir()
+
+    def clear_session_for_ui(self):
+        """Reset + the full tuple of cleared UI values (reference
+        web_storyteller.py:634-651): chat/story, status, index, active,
+        audio, segment files, story download, both text inputs."""
+        self.reset_story()
+        return ("", "Session reset. Ready.", (0, 0), False, None, [], [], "", "")
 
     def clear_ui(self):
         self.llm.history_manager.clear_history()
@@ -186,57 +204,122 @@ def main(argv=None):
     spec = test_tiny_spec() if args.flavor == "test-tiny" else csm_1b_spec()
     app = StorytellerApp(voice=args.voice, model=args.model, spec=spec, voices=args.voices)
 
-    with gr.Blocks(title="Sesame Storyteller (TPU)") as demo:
-        story = gr.Textbox(label="Story so far", lines=14, interactive=False)
-        status = gr.Textbox(label="Status", interactive=False)
-        audio_out = gr.Audio(autoplay=True, streaming=True)
-        with gr.Tab("LLM story"):
-            prompt = gr.Textbox(label="What happens next?")
-            go = gr.Button("Continue story")
-        with gr.Tab("Paste text"):
-            pasted = gr.Textbox(label="Text to narrate", lines=6)
-            narrate = gr.Button("Narrate")
+    # layout mirrors the reference UI (reference web_storyteller.py:384-666):
+    # status+reset header, voice radio beside the stream player, tts
+    # sliders, New/Continue tab pairs, segment-file list, full-story save
+    with gr.Blocks(title="Storyteller TTS (TPU)", theme=gr.themes.Soft()) as demo:
+        gr.Markdown("# Storyteller TTS")
+
         with gr.Row():
-            temp = gr.Slider(0.1, 1.2, value=0.9, label="Temperature")
-            speed = gr.Slider(1.0, 1.6, value=1.2, label="Speech speed")
-            voice_dd = gr.Dropdown(
-                choices=app.list_available_voices(), value=app.current_voice,
-                label="Voice",
+            status = gr.Textbox(label="Status", lines=1, interactive=False,
+                                value="Ready.", scale=8)
+            reset_btn = gr.Button("Reset Session", variant="stop", scale=1,
+                                  min_width=150)
+        with gr.Row():
+            voice_radio = gr.Radio(
+                label="Select Voice", choices=app.list_available_voices(),
+                value=app.current_voice, interactive=True, scale=4,
+            )
+            audio_out = gr.Audio(
+                label="Narration Stream", autoplay=True, streaming=True,
+                show_download_button=False, interactive=False, scale=6,
             )
         with gr.Row():
-            save_btn = gr.Button("Download full story")
-            reset_btn = gr.Button("Reset story")
-        story_file = gr.File(label="Story WAV")
+            temp = gr.Slider(
+                0.1, 1.0, step=0.05, value=0.8, label="Temperature (Creativity)",
+                info="Lower = more predictable, Higher = more creative", scale=3,
+            )
+            topk = gr.Slider(
+                10, 100, step=5, value=40, label="Top-K (Variety)",
+                info="Lower = more focused, Higher = more varied options", scale=3,
+            )
+            speed = gr.Slider(0.75, 2.0, step=0.05, value=1.0,
+                              label="Speech Speed", scale=2)
 
         rng_state = gr.State((0, 0))
         act_state = gr.State(False)
 
-        def drive(p, t, use_llm):
-            for text, st, s, e, a, replay in app.continue_story(p, use_llm=use_llm):
+        with gr.Tabs():
+            with gr.TabItem("LLM Story Generation"):
+                prompt = gr.Textbox(
+                    placeholder="Start or continue a story...",
+                    label="LLM Prompt", lines=1,
+                )
+                with gr.Row():
+                    new_story_btn = gr.Button("✨ Start New Story",
+                                              variant="primary", size="sm")
+                    continue_btn = gr.Button("➡️ Continue Story",
+                                             variant="secondary", size="sm")
+                story = gr.Textbox(label="Story so far", lines=12,
+                                   interactive=False)
+            with gr.TabItem("Pasted Text Input"):
+                pasted = gr.Textbox(label="Paste Text Here", lines=10)
+                with gr.Row():
+                    new_text_btn = gr.Button("✨ Start New Text",
+                                             variant="primary", size="sm")
+                    append_text_btn = gr.Button("➡️ Append Text",
+                                                variant="secondary", size="sm")
+
+        seg_files = gr.File(label="Segment Audio Files (WAV)",
+                            file_count="multiple", interactive=False, height=100)
+        with gr.Row():
+            save_btn = gr.Button("💾 Generate & Download Full Story (WAV)",
+                                 scale=1)
+            story_file = gr.File(label="Full Story Download(s)",
+                                 file_count="multiple", interactive=False,
+                                 scale=3, height=40)
+
+        def drive(p, use_llm, is_continuation):
+            for text, st, s, e, a, replay in app.continue_story(
+                p, use_llm=use_llm, is_continuation=is_continuation
+            ):
                 # continuation: replay everything narrated so far first;
                 # leave the player untouched (gr.update()) when there is
                 # nothing to replay — a None would reset it mid-playback
                 yield text, st, (s, e), a, (
                     replay if replay is not None else gr.update()
+                ), app.generated_prompt_wav_paths
+
+        def pump(rng, active, t, tk, sp):
+            for act, audio in app.sentence_generator_loop(
+                rng[0], rng[1], active, temperature=t, topk=int(tk),
+                speed_factor=sp,
+            ):
+                yield (
+                    audio if audio is not None else gr.update(),
+                    app.generated_prompt_wav_paths,
                 )
 
-        def pump(rng, active, t, sp):
-            for act, audio in app.sentence_generator_loop(
-                rng[0], rng[1], active, temperature=t, speed_factor=sp
-            ):
-                if audio is not None:
-                    yield audio
+        drive_out = [story, status, rng_state, act_state, audio_out, seg_files]
+        pump_in = [rng_state, act_state, temp, topk, speed]
+        pump_out = [audio_out, seg_files]
 
-        go.click(drive, [prompt, temp, gr.State(True)],
-                 [story, status, rng_state, act_state, audio_out]).then(
-            pump, [rng_state, act_state, temp, speed], [audio_out])
-        narrate.click(drive, [pasted, temp, gr.State(False)],
-                      [story, status, rng_state, act_state, audio_out]).then(
-            pump, [rng_state, act_state, temp, speed], [audio_out])
-        save_btn.click(app.combine_full_story, [], [story_file])
-        reset_btn.click(lambda: (app.reset_story(), "", "Story reset.")[1:],
-                        [], [story, status])
-        voice_dd.change(app.change_voice, [voice_dd], [status])
+        def wire(trigger, source, use_llm, is_continuation, clear_input):
+            chain = trigger(
+                drive, [source, gr.State(use_llm), gr.State(is_continuation)],
+                drive_out,
+            )
+            if clear_input:
+                chain = chain.then(lambda: "", [], [source])
+            chain.then(pump, pump_in, pump_out)
+
+        wire(new_story_btn.click, prompt, True, False, True)
+        wire(continue_btn.click, prompt, True, True, True)
+        wire(prompt.submit, prompt, True, False, True)  # Enter = new story
+        wire(new_text_btn.click, pasted, False, False, False)
+        wire(append_text_btn.click, pasted, False, True, False)
+
+        save_btn.click(
+            lambda: ([p] if (p := app.combine_full_story()) else [],
+                     "Full story saved." if p else "Nothing to save."),
+            [], [story_file, status],
+        )
+        reset_btn.click(
+            app.clear_session_for_ui, [],
+            [story, status, rng_state, act_state, audio_out, seg_files,
+             story_file, prompt, pasted],
+        )
+        voice_radio.change(app.change_voice, [voice_radio], [status])
 
     demo.queue(max_size=20).launch(server_name="0.0.0.0", server_port=args.port)
 

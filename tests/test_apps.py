@@ -218,3 +218,61 @@ def test_duplex_respond(tiny_tts, monkeypatch):
     assert app.context.window_rows > 0
     app.clear_dialog()
     assert app.context.window_rows == 0
+
+
+def test_storyteller_new_vs_continue_and_reset(tiny_tts, monkeypatch):
+    """is_continuation=False restarts the story (reference's New Story
+    button semantics, web_storyteller.py:556-609); clear_session_for_ui
+    returns the full cleared-UI tuple."""
+    from sesameai_tts_tpu.apps.web_storyteller import StorytellerApp
+
+    monkeypatch.setattr(
+        "sesameai_tts_tpu.apps.web_base.AskLLM",
+        lambda **kw: FakeLLM("A fox ran. It hid."),
+    )
+    app = StorytellerApp(voice="v", model="local-default", tts=tiny_tts)
+    outs = list(app.continue_story("go", use_llm=True))
+    _, _, s, e, active, _ = outs[-1]
+    list(app.sentence_generator_loop(s, e, True, temperature=0.8, topk=5))
+    assert len(app.story_parts) == 1
+    assert len(app.generated_prompt_wav_paths) == 1
+
+    # continuation appends
+    list(app.continue_story("more", use_llm=True, is_continuation=True))
+    assert len(app.story_parts) == 2
+
+    # a NEW story discards everything narrated so far
+    outs3 = list(app.continue_story("fresh", use_llm=True,
+                                    is_continuation=False))
+    assert len(app.story_parts) == 1
+    assert app.generated_prompt_wav_paths == []
+    assert outs3[-1][5] is None  # nothing to replay after reset
+
+    cleared = app.clear_session_for_ui()
+    assert len(cleared) == 9
+    assert cleared[2] == (0, 0) and cleared[3] is False
+    assert app.story_parts == [] and app.prompt_audio_segments == []
+
+
+def test_chat_app_clear_session_and_system_prompt(tiny_tts, monkeypatch):
+    """clear_session resets chat+LLM state and returns UI values;
+    update_system_prompt swaps the prompt and rebuilds the client
+    (reference web_chat.py:177-209)."""
+    from sesameai_tts_tpu.apps.web_chat import ChatApp
+    from sesameai_tts_tpu.llm.client import global_config as llm_config
+
+    monkeypatch.setattr(
+        "sesameai_tts_tpu.apps.web_base.AskLLM", lambda **kw: FakeLLM()
+    )
+    app = ChatApp(voice="v", model="local-default", tts=tiny_tts)
+    list(app.process_query("hi", temperature=0.9))
+    assert app.messages
+
+    cleared = app.clear_session()
+    assert app.messages == []
+    assert cleared[0] == [] and cleared[4] is False
+    assert "Session cleared" in cleared[1]
+
+    status = app.update_system_prompt("You are a pirate narrator.")
+    assert "updated" in status
+    assert llm_config.SYSTEM_MESSAGE == "You are a pirate narrator."
