@@ -281,9 +281,7 @@ def transformer_forward(
 
     H, KV, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
 
-    from sesameai_tts_tpu.ops.quant import qdot
-
-    F = cfg.intermediate_dim
+    from sesameai_tts_tpu.ops.quant import qdot, qmlp
 
     def layer(h, wl, lk, lv):
         hn = rms_norm(h, wl["attn_norm"], cfg.norm_eps)
@@ -306,9 +304,9 @@ def transformer_forward(
         h = h + qdot(attn.transpose(0, 2, 1, 3).reshape(B, S, H * hd), wl["o_proj"])
 
         hn = rms_norm(h, wl["mlp_norm"], cfg.norm_eps)
-        w13 = qdot(hn, wl["w13"])
-        gate = jax.nn.silu(w13[..., :F].astype(jnp.float32)).astype(h.dtype)
-        h = h + qdot(gate * w13[..., F:], wl["w2"])
+        # int8 decode fuses w13+w2 into one Pallas kernel (qmlp); the
+        # dense/prefill fallback inside qmlp is this exact sequence
+        h = h + qmlp(hn, wl["w13"], wl["w2"])
         return h, lk, lv
 
     if remat and cache is None:

@@ -151,6 +151,51 @@ def test_int4_csm_generates_and_matches_int8_mostly():
     assert cos > 0.9, f"int4 trunk cosine {cos}"  # ~0.97 on random weights
 
 
+def test_fused_mlp_kernel_matches_unfused():
+    """quant_mlp_pallas (interpret mode) vs the exact unfused sequence.
+
+    The w13 half must match bit-for-bit (columns are tiling-independent);
+    the w2 contraction differs only in f32 partial-sum order."""
+    from sesameai_tts_tpu.ops.quant import quant_mlp_pallas
+
+    D, F, Dout, S = 128, 512, 128, 2
+    k = jax.random.split(jax.random.PRNGKey(7), 3)
+    w13 = quantize_weight(jax.random.normal(k[0], (D, 2 * F)) * 0.05)
+    w2 = quantize_weight(jax.random.normal(k[1], (F, Dout)) * 0.05)
+    x = (jax.random.normal(k[2], (S, D)) * 0.3).astype(jnp.bfloat16)
+
+    a = qdot(x, w13)
+    gate = jax.nn.silu(a[..., :F].astype(jnp.float32)).astype(x.dtype)
+    ref = qdot(gate * a[..., F:], w2)
+
+    out = quant_mlp_pallas(
+        x, w13["q"], w13["scale"], w2["q"], w2["scale"],
+        block_i=256, interpret=True,
+    )
+    assert out.dtype == x.dtype
+    ref_f = np.asarray(ref, np.float32)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), ref_f,
+        atol=2e-2 * float(np.abs(ref_f).max()) + 1e-6,
+    )
+
+
+def test_qmlp_dense_fallback_is_exact():
+    """qmlp on unquantized weights == the inline transformer sequence."""
+    from sesameai_tts_tpu.ops.quant import qmlp
+
+    D, F = 32, 64
+    k = jax.random.split(jax.random.PRNGKey(8), 3)
+    w13 = jax.random.normal(k[0], (D, 2 * F)) * 0.1
+    w2 = jax.random.normal(k[1], (F, D)) * 0.1
+    x = jax.random.normal(k[2], (3, D))
+    a = x @ w13
+    ref = (jax.nn.silu(a[..., :F].astype(jnp.float32)).astype(x.dtype)
+           * a[..., F:]) @ w2
+    np.testing.assert_allclose(np.asarray(qmlp(x, w13, w2)), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)
+
+
 def test_dequantize_csm_all_layouts():
     """Prefill-shadow dequantization covers stacked/unstacked x int8/int4
     (regression: stacked int4 leaves crashed _dequant4)."""
