@@ -53,6 +53,8 @@ class Session:
     frames_out: List[np.ndarray] = field(default_factory=list)
     error: Optional[Exception] = None
     cancelled: bool = False
+    submitted_at: float = field(default_factory=time.time)
+    first_audio_at: Optional[float] = None
 
     def cancel(self) -> None:
         """Stop generating for this session: frees its slot at the next
@@ -127,6 +129,14 @@ class BatchedTTSServer:
         self._lock = threading.Lock()
         self._inflight = None  # lag-1 dispatched tick awaiting fetch
         self._running = False
+        # structured observability (SURVEY.md §5: the reference has only
+        # ad-hoc prints): TTFA distribution + counters for /metrics
+        from sesameai_tts_tpu.utils.profiling import Metrics
+
+        self.metrics = Metrics()
+        self._sessions_total = 0
+        self._frames_total = 0
+        self._started_at = time.time()
         self._thread: Optional[threading.Thread] = None
         self._admitter: Optional[threading.Thread] = None
         self._build_programs()
@@ -196,8 +206,22 @@ class BatchedTTSServer:
 
     def submit(self, text: str, **kw) -> Session:
         s = Session(text=text, **kw)
+        self._sessions_total += 1
         self._pending.put(s)
         return s
+
+    def metrics_summary(self) -> dict:
+        """Structured engine metrics: TTFA percentiles, frame/session
+        counters, occupancy — the /metrics HTTP surface."""
+        occupied = sum(1 for s in self._sessions if s is not None)
+        return {
+            "sessions_total": self._sessions_total,
+            "frames_total": self._frames_total,
+            "slots": self.B,
+            "slots_occupied": occupied,
+            "uptime_s": round(time.time() - self._started_at, 3),
+            "series": self.metrics.summary(),
+        }
 
     def start(self):
         self._running = True
@@ -308,12 +332,17 @@ class BatchedTTSServer:
         session = self._sessions[slot]
         if session is None or frames.shape[0] == 0:
             return
+        if session.first_audio_at is None:
+            session.first_audio_at = time.time()
+            self.metrics.record("ttfa_s", session.first_audio_at - session.submitted_at)
+        self._frames_total += frames.shape[0]
         session.frames_out.append(frames)
         session.chunks.put(pcm)
 
     def _finish(self, slot: int):
         session = self._sessions[slot]
         if session is not None:
+            self.metrics.record("session_s", time.time() - session.submitted_at)
             session.chunks.put(None)
         self._sessions[slot] = None
         self._done = self._mark_done(self._done, jnp.int32(slot))

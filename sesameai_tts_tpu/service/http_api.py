@@ -11,6 +11,8 @@ Stdlib-only (no framework deps in this environment):
     POST /tts/stream    same body → chunked audio/pcm;rate=24000;encoding=
                         float32 — chunks flush as the engine emits them
     GET  /healthz       → {"status": "ok", "slots": B}
+    GET  /metrics       → engine metrics JSON (TTFA/session percentiles,
+                          frame + session counters, slot occupancy)
 
 Concurrency rides the BatchedTTSServer slot pool: N in-flight requests
 decode in the same batched programs. Voices resolve through the TTS
@@ -109,13 +111,19 @@ class TTSRequestHandler(BaseHTTPRequestHandler):
                 {"status": "ok", "slots": self.engine.B,
                  "voices": sorted(self.voices)}
             ).encode()
-            self.send_response(200)
-            self.send_header("Content-Type", "application/json")
-            self.send_header("Content-Length", str(len(payload)))
-            self.end_headers()
-            self.wfile.write(payload)
+        elif self.path == "/metrics":
+            # structured engine metrics (TTFA/session percentiles, frame
+            # and session counters, occupancy) — SURVEY.md §5 upgrade
+            # over the reference's print-based observability
+            payload = json.dumps(self.engine.metrics_summary()).encode()
         else:
             self._error(404, "unknown path")
+            return
+        self.send_response(200)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(payload)))
+        self.end_headers()
+        self.wfile.write(payload)
 
     def do_POST(self):
         if self.path not in ("/tts", "/tts/stream"):

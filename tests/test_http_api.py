@@ -50,6 +50,20 @@ def test_healthz(api):
     assert info["voices"] == ["demo"]
 
 
+def test_metrics_endpoint(api):
+    """/metrics reports engine counters + TTFA percentiles after traffic."""
+    base, _ = api
+    with _post(base, "/tts", {"text": "metrics probe",
+                              "max_audio_length_ms": 400, "topk": 5}) as r:
+        r.read()
+    with urllib.request.urlopen(base + "/metrics", timeout=60) as r:
+        m = json.loads(r.read())
+    assert m["sessions_total"] >= 1 and m["frames_total"] >= 1
+    assert m["slots"] == 2 and 0 <= m["slots_occupied"] <= 2
+    assert m["series"]["ttfa_s"]["count"] >= 1
+    assert m["series"]["ttfa_s"]["p50"] > 0
+
+
 def test_tts_wav(api):
     base, gen = api
     with _post(base, "/tts", {"text": "hello over http",
