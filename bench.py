@@ -131,17 +131,30 @@ def main():
     finally:
         server.stop()
 
-    # -- slot scaling: TTFA + per-stream RTF at 1/3/7 busy slots -----------
+    # -- slot scaling: per-stream RTF, then TTFA, at 1/3/7 busy slots ------
     server8 = BatchedTTSServer(gen, slots=8, chunk_frames=10)
     server8.start()
     try:
-        # warm-up: compile the B=8 scatter/tick/Mimi programs once
-        server8.submit(text, max_audio_length_ms=1_000).audio(timeout=900)
+        # warm-up: compile the B=8 scatter/tick programs (full AND the
+        # 3-frame attach-priority tick — submitting 2 at once triggers it)
+        warm = [server8.submit(text, max_audio_length_ms=1_500) for _ in range(2)]
+        for s in warm:
+            s.audio(timeout=900)
         for busy in (1, 3, 7):
+            # phase 1 — per-stream RTF at steady occupancy `busy`, no
+            # probes running: engine-side timestamps avoid drain-order bias
+            batch = [server8.submit(text, max_audio_length_ms=8_000,
+                                    temperature=0.8, topk=40)
+                     for _ in range(busy)]
+            audios = [s.audio(timeout=900) for s in batch]
+            stream_rtf = [
+                (s.finished_at - s.submitted_at) / (len(a) / gen.sample_rate)
+                for s, a in zip(batch, audios)
+            ]
+            # phase 2 — TTFA while `busy` long sessions decode
             long_sess = [
-                (time.time(),
-                 server8.submit(text, max_audio_length_ms=12_000,
-                                temperature=0.8, topk=40))
+                server8.submit(text, max_audio_length_ms=20_000,
+                               temperature=0.8, topk=40)
                 for _ in range(busy)
             ]
             time.sleep(1.0)  # ensure the pool is mid-decode
@@ -153,18 +166,16 @@ def main():
                 lat_busy.append(time.time() - t0)
                 while first is not None:  # drain to free the slot
                     first = s.chunks.get(timeout=900)
-            stream_rtf = []
-            for t_sub, s in long_sess:
-                audio = s.audio(timeout=900)
-                stream_rtf.append(
-                    (time.time() - t_sub) / (len(audio) / gen.sample_rate)
-                )
+            for s in long_sess:  # cancel: next tick frees the slots
+                s.cancel()
+            for s in long_sess:
+                s.audio(timeout=900)
             lat_busy.sort()
             print(
-                f"TTFA with {busy} busy slots: "
+                f"{busy} busy slots: per-stream RTF "
+                f"{float(np.median(stream_rtf)):.4f}; TTFA under load "
                 f"p50 {1000*float(np.median(lat_busy)):.0f} ms, "
-                f"p95 {1000*lat_busy[-1]:.0f} ms; per-stream RTF "
-                f"{float(np.median(stream_rtf)):.4f}",
+                f"p95 {1000*lat_busy[-1]:.0f} ms",
                 file=sys.stderr,
             )
     finally:

@@ -55,6 +55,7 @@ class Session:
     cancelled: bool = False
     submitted_at: float = field(default_factory=time.time)
     first_audio_at: Optional[float] = None
+    finished_at: Optional[float] = None
 
     def cancel(self) -> None:
         """Stop generating for this session: frees its slot at the next
@@ -291,7 +292,26 @@ class BatchedTTSServer:
             done1_np = bool(arr0[0])
             frame_np = arr0[1 : 1 + K].reshape(1, K)
             wav0 = arr0[1 + K :].view(np.float32)
-            item = (session, frame, state1, done1_np, max_gen, frame_np, wav0, ms1)
+            # first audio leaves HERE, on the admission thread — TTFA no
+            # longer waits for the tick thread to find a free slot and
+            # scatter (was the dominant under-load latency term: ~1 tick
+            # cadence + attach, measured +60-80 ms at 3 busy slots)
+            if not done1_np:
+                session.first_audio_at = time.time()
+                self.metrics.record(
+                    "ttfa_s", session.first_audio_at - session.submitted_at
+                )
+                self._frames_total += 1
+                session.frames_out.append(frame_np)
+                session.chunks.put(wav0)
+            if done1_np or max_gen <= 1:
+                # EOS on the prefill frame / 1-frame budget: the session
+                # is complete without ever occupying a slot
+                self.metrics.record("session_s", time.time() - session.submitted_at)
+                session.chunks.put(None)
+                self._admitting -= 1
+                continue
+            item = (session, frame, state1, max_gen, ms1)
             placed = False
             while self._running:  # bounded queue: block without hanging stop()
                 try:
@@ -306,13 +326,16 @@ class BatchedTTSServer:
             self._admitting -= 1
 
     def _attach(self, slot: int, item) -> None:
-        """Scatter a prefilled session into an idle slot (tick thread)."""
-        session, frame, state1, done1_np, max_gen, frame_np, wav0, ms1 = item
+        """Scatter a prefilled session into an idle slot (tick thread).
+
+        The prefill frame's audio was already emitted by the admission
+        worker; only live sessions with budget remaining reach here."""
+        session, frame, state1, max_gen, ms1 = item
         if session.cancelled:
             session.chunks.put(None)
             return
         self._state, self._prev_frame, self._done = self._scatter_slot(
-            self._state, state1, frame, jnp.asarray([done1_np]),
+            self._state, state1, frame, jnp.asarray([False]),
             self._prev_frame, self._done, jnp.int32(slot),
         )
         self._mimi_state = self._scatter_mimi(self._mimi_state, ms1, slot)
@@ -320,11 +343,6 @@ class BatchedTTSServer:
         self._budget[slot] = max_gen - 1
         self._temperature[slot] = session.temperature
         self._topk[slot] = session.topk
-        # the prefill frame is the first audio frame (if not EOS)
-        if not done1_np:
-            self._emit(slot, frame_np, wav0)
-        if done1_np or self._budget[slot] <= 0:
-            self._finish(slot)
 
     def _emit(self, slot: int, frames: np.ndarray, pcm: np.ndarray):
         """frames: (n, K) codes, pcm: (n*hop,) — both already on host (the
@@ -342,7 +360,8 @@ class BatchedTTSServer:
     def _finish(self, slot: int):
         session = self._sessions[slot]
         if session is not None:
-            self.metrics.record("session_s", time.time() - session.submitted_at)
+            session.finished_at = time.time()
+            self.metrics.record("session_s", session.finished_at - session.submitted_at)
             session.chunks.put(None)
         self._sessions[slot] = None
         self._done = self._mark_done(self._done, jnp.int32(slot))
@@ -402,7 +421,13 @@ class BatchedTTSServer:
                     time.sleep(0.005)
                 return
 
-            n = int(min(self.chunk, max(self._budget.max(), 1)))
+            # FIXED tick sizes only ({chunk, 3}): sizing the tick down to
+            # the remaining budget (min(chunk, budget.max())) minted a
+            # fresh program per residual size (9, 8, …) — each a
+            # minutes-long remote compile. Emission already clips to the
+            # per-slot budget in _process, so overshoot on the final
+            # chunk costs at most chunk-1 frames of throwaway decode.
+            n = self.chunk
             if self._admitting or not self._ready.empty():
                 # attach-priority: an admission is prefilling (its program
                 # queues behind every dispatched tick) or waiting for a
