@@ -79,8 +79,8 @@ class ChatApp(WebAppBase):
 
     def clear_session(self):
         """Full reset: chat history, LLM history, audio queue (reference
-        web_chat.py:177-192)."""
-        self.clear_ui()
+        web_chat.py:177-192).  The base clear_session invokes our
+        clear_ui override, which wipes messages + LLM history."""
         super().clear_session()
         return (
             [],
@@ -95,8 +95,11 @@ class ChatApp(WebAppBase):
         """Swap the live system prompt and rebuild the LLM client with it
         (reference web_chat.py:194-209)."""
         with self.lock:
+            old = llm_config.SYSTEM_MESSAGE
             llm_config.SYSTEM_MESSAGE = (new_prompt or "").strip()
             err = self._swap_llm(self.current_resolved_alias)
+            if err:  # keep global config consistent with the live client
+                llm_config.SYSTEM_MESSAGE = old
         if err:
             return f"Error updating system prompt: {err}"
         return f"System prompt updated. Model: {self.current_model}"

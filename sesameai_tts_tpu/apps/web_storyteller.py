@@ -39,6 +39,8 @@ class StorytellerApp(WebAppBase):
         self.story_parts: List[str] = []
         self.generated_prompt_wav_paths: List[str] = []  # per-prompt WAVs for
         #   the UI's segment-files list (reference web_storyteller.py:30-41)
+        self._prompt_counter = 0  # monotonic across soft resets: a new
+        #   story must not overwrite the previous story's WAVs
         self.session_dir = os.path.join(tempfile.gettempdir(), "storyteller_audio")
         self._reset_session_dir()
 
@@ -70,7 +72,16 @@ class StorytellerApp(WebAppBase):
             return
 
         if not is_continuation and self.story_parts:
-            self.reset_story()
+            # start-over is NON-destructive on disk: in-memory story and
+            # the UI file list reset, but WAVs already exported stay (the
+            # explicit Reset Session button purges them). Enter in the
+            # prompt box routes here (reference semantics, Enter = new
+            # story) — an accidental keypress must not delete narration.
+            self.interrupt_and_reset()
+            self.story_parts = []
+            self.prompt_audio_segments = []
+            self.generated_prompt_wav_paths = []
+            self.clear_ui()
 
         if use_llm:
             yield self.story_text, "Writing the next part...", 0, 0, False, None
@@ -128,8 +139,9 @@ class StorytellerApp(WebAppBase):
         combined = group[0]
         for clip in group[1:]:
             combined = combined + clip
+        self._prompt_counter += 1
         path = os.path.join(
-            self.session_dir, f"prompt_{len(self.prompt_audio_segments):02d}.wav"
+            self.session_dir, f"prompt_{self._prompt_counter:02d}.wav"
         )
         combined.export(path)
         self.temp_audio_files.append(path)
@@ -162,9 +174,12 @@ class StorytellerApp(WebAppBase):
             yield item
 
     def reset_story(self):
+        """Hard reset (the Reset Session button): also wipes the session
+        dir and every exported WAV."""
         self.story_parts = []
         self.prompt_audio_segments = []
         self.generated_prompt_wav_paths = []
+        self._prompt_counter = 0
         self.clear_session()
         self._reset_session_dir()
 

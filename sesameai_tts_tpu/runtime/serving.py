@@ -207,7 +207,8 @@ class BatchedTTSServer:
 
     def submit(self, text: str, **kw) -> Session:
         s = Session(text=text, **kw)
-        self._sessions_total += 1
+        with self._lock:  # submit() is called from arbitrary threads
+            self._sessions_total += 1
         self._pending.put(s)
         return s
 
@@ -301,13 +302,16 @@ class BatchedTTSServer:
                 self.metrics.record(
                     "ttfa_s", session.first_audio_at - session.submitted_at
                 )
-                self._frames_total += 1
+                with self._lock:
+                    self._frames_total += 1
                 session.frames_out.append(frame_np)
                 session.chunks.put(wav0)
             if done1_np or max_gen <= 1:
                 # EOS on the prefill frame / 1-frame budget: the session
                 # is complete without ever occupying a slot
-                self.metrics.record("session_s", time.time() - session.submitted_at)
+                session.finished_at = time.time()
+                self.metrics.record("session_s",
+                                    session.finished_at - session.submitted_at)
                 session.chunks.put(None)
                 self._admitting -= 1
                 continue
@@ -353,7 +357,8 @@ class BatchedTTSServer:
         if session.first_audio_at is None:
             session.first_audio_at = time.time()
             self.metrics.record("ttfa_s", session.first_audio_at - session.submitted_at)
-        self._frames_total += frames.shape[0]
+        with self._lock:
+            self._frames_total += frames.shape[0]
         session.frames_out.append(frames)
         session.chunks.put(pcm)
 

@@ -9,13 +9,21 @@ once-per-artifact step.  One command per artifact family:
     sesame-tts-convert mimi model.safetensors  /ckpt/mimi_jax
     sesame-tts-convert silentcipher ckpt.pt    /ckpt/wm_jax
 
-Outputs are orbax checkpoints (core/weights.py::save_pytree) that the
-ModelSpec paths (`csm_checkpoint` / `mimi_checkpoint` /
-`SILENTCIPHER_CKPT`) load directly.  ``--verify`` round-trips each
-converted tree back through the inverse converter (where one exists) and
-prints leaf counts/bytes, so a bad layout fails HERE and not minutes
-into a TPU compile.  See docs/REAL_WEIGHTS.md for the end-to-end smoke
-procedure.
+Each family writes the format its consumer actually loads:
+
+* ``csm`` → a directory with ``model.safetensors`` in this framework's
+  layout (``ModelSpec.csm_checkpoint`` reads safetensors/torch files or
+  a directory containing them);
+* ``mimi`` → an orbax tree (``ModelSpec.mimi_checkpoint`` detects and
+  loads converted pytrees via ``load_pytree``);
+* ``silentcipher`` → an orbax tree + ``<dst>.config.json`` sibling
+  (``SILENTCIPHER_CKPT`` / ``load_watermarker(ckpt_path=...)`` accept
+  the directory).
+
+``--verify`` round-trips each converted tree back through the inverse
+converter (where one exists) and prints leaf counts/bytes, so a bad
+layout fails HERE and not minutes into a TPU compile.  See
+docs/REAL_WEIGHTS.md for the end-to-end smoke procedure.
 """
 
 from __future__ import annotations
@@ -40,24 +48,23 @@ def _convert_csm(src: str, dst: str, dtype, verify: bool,
     from sesameai_tts_tpu.core.weights import (
         load_csm_checkpoint,
         save_csm_checkpoint,
-        save_pytree,
     )
 
     cfg = csm_test_tiny() if flavor == "test-tiny" else csm_1b()
     params = load_csm_checkpoint(src, cfg, dtype)
     print(f"converted CSM tree: {_tree_stats(params)}")
-    if verify:
-        import tempfile, os
+    import os
 
-        with tempfile.TemporaryDirectory() as td:
-            back = os.path.join(td, "back.safetensors")
-            save_csm_checkpoint(back, params)
-            again = load_csm_checkpoint(back, cfg, dtype)
-            for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(again)):
-                np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    os.makedirs(dst, exist_ok=True)
+    out = os.path.join(dst, "model.safetensors")
+    save_csm_checkpoint(out, params)
+    if verify:
+        again = load_csm_checkpoint(out, cfg, dtype)
+        for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(again)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
         print("verify: save→load round trip identical")
-    save_pytree(dst, params)
-    print(f"wrote orbax checkpoint: {dst}")
+    print(f"wrote safetensors checkpoint: {out} "
+          f"(load via ModelSpec.csm_checkpoint={dst!r})")
 
 
 def _convert_mimi(src: str, dst: str, dtype, verify: bool,
@@ -84,7 +91,13 @@ def _convert_silentcipher(src: str, dst: str, dtype, verify: bool,
     from sesameai_tts_tpu.watermark.net import load_silentcipher_checkpoint
 
     model = load_silentcipher_checkpoint(src)
-    print(f"converted silentcipher tree: {_tree_stats(model.params)}")
+    model.params = jax.tree.map(
+        lambda x: jnp.asarray(x, dtype) if jnp.issubdtype(
+            jnp.asarray(x).dtype, jnp.floating) else jnp.asarray(x),
+        model.params,
+    )
+    print(f"converted silentcipher tree ({jnp.dtype(dtype).name}): "
+          f"{_tree_stats(model.params)}")
     if verify:
         x = np.zeros(44_100, np.float32)
         y, _ = model.encode_wav(x, 44_100, [212, 211, 146, 56, 201])

@@ -419,7 +419,25 @@ def convert_silentcipher_state(
 
 
 def load_silentcipher_checkpoint(path: str, hparams: Optional[dict] = None):
-    """torch .pth/.pt checkpoint file → NetWatermarker."""
+    """torch .pth/.pt checkpoint file, or a converted orbax directory
+    (``sesame-tts-convert silentcipher`` output: params tree +
+    ``<dst>.config.json`` sibling) → NetWatermarker."""
+    import os
+
+    if os.path.isdir(path):
+        import dataclasses, json
+
+        from sesameai_tts_tpu.core.weights import load_pytree
+
+        cfg_path = os.path.abspath(path).rstrip("/") + ".config.json"
+        with open(cfg_path) as f:
+            raw_cfg = json.load(f)
+        fields = {f.name for f in dataclasses.fields(SilentCipherConfig)}
+        cfg = SilentCipherConfig(
+            **{k: v for k, v in raw_cfg.items() if k in fields}
+        )
+        return NetWatermarker(load_pytree(path), cfg)
+
     import torch
 
     raw = torch.load(path, map_location="cpu", weights_only=False)

@@ -15,7 +15,10 @@ from sesameai_tts_tpu.service.convert import main as convert_main
 
 def test_convert_csm_cli(tmp_path, capsys):
     from sesameai_tts_tpu.core.config import csm_test_tiny
-    from sesameai_tts_tpu.core.weights import load_pytree, save_csm_checkpoint
+    from sesameai_tts_tpu.core.weights import (
+        load_csm_checkpoint,
+        save_csm_checkpoint,
+    )
     from sesameai_tts_tpu.models.csm import init_csm_params
 
     cfg = csm_test_tiny()
@@ -29,9 +32,9 @@ def test_convert_csm_cli(tmp_path, capsys):
     ])
     assert rc == 0
     out = capsys.readouterr().out
-    assert "round trip identical" in out and "wrote orbax" in out
+    assert "round trip identical" in out and "wrote safetensors" in out
 
-    loaded = load_pytree(dst)
+    loaded = load_csm_checkpoint(dst, cfg, jnp.float32)
     a, b = jax.tree.leaves(params), jax.tree.leaves(loaded)
     assert len(a) == len(b)
     for x, y in zip(a, b):
@@ -69,13 +72,43 @@ def test_convert_silentcipher_cli(tmp_path, capsys):
     torch.save(_ckpt_dict(enc_c, dec_c, dec_m, enc_m, _hparams(cfg)), src)
     dst = str(tmp_path / "sc_jax")
 
-    rc = convert_main(["silentcipher", src, dst])
+    rc = convert_main(["silentcipher", src, dst, "--dtype", "float32"])
     assert rc == 0
     out = capsys.readouterr().out
     assert "encode_wav ok" in out and "wrote orbax" in out
     import os
 
     assert os.path.exists(dst.rstrip("/") + ".config.json")
+
+    # the documented consumer accepts the converted directory
+    from sesameai_tts_tpu.watermark.api import load_watermarker
+
+    model = load_watermarker(ckpt_path=dst)
+    assert model.cfg.n_fft == cfg.n_fft and model.cfg.hop == cfg.hop
+    y, _ = model.encode_wav(np.zeros(44_100, np.float32), 44_100,
+                            [1, 2, 3, 4, 5])
+    assert y.shape == (44_100,)
+
+
+def test_convert_csm_output_loads_via_modelspec_path(tmp_path):
+    """The csm output directory is loadable by the ModelSpec consumer."""
+    from sesameai_tts_tpu.core.config import csm_test_tiny
+    from sesameai_tts_tpu.core.weights import (
+        load_csm_checkpoint,
+        save_csm_checkpoint,
+    )
+    from sesameai_tts_tpu.models.csm import init_csm_params
+
+    cfg = csm_test_tiny()
+    params = init_csm_params(jax.random.PRNGKey(1), cfg, jnp.float32)
+    src = str(tmp_path / "csm.safetensors")
+    save_csm_checkpoint(src, params)
+    dst = str(tmp_path / "csm_dir")
+    assert convert_main(["csm", src, dst, "--flavor", "test-tiny",
+                         "--dtype", "float32"]) == 0
+    loaded = load_csm_checkpoint(dst, cfg, jnp.float32)
+    for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(loaded)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
 
 
 def test_convert_missing_file(tmp_path):
