@@ -127,3 +127,17 @@ def test_serving_soak_mixed_workload(server):
         if frames.shape[0]:
             ref = gen.decode_audio(frames)
             assert np.abs(audio - ref).max() < 2e-4, f"session {i} PCM"
+
+
+def test_one_frame_session_completes_at_admission(server):
+    """A 1-frame budget (or prefill-EOS) session finishes on the
+    admission thread without occupying a slot: audio arrives, finished_at
+    and the TTFA/session metrics are recorded."""
+    hop = server.gen._mimi.cfg.hop_length
+    s = server.submit("tiny", max_audio_length_ms=80, topk=5)  # max_gen = 1
+    audio = s.audio(timeout=300)
+    assert audio.shape[0] in (0, hop)  # prefill frame only (or EOS)
+    assert s.finished_at is not None and s.finished_at >= s.submitted_at
+    m = server.metrics_summary()
+    assert m["series"]["session_s"]["count"] >= 1
+    assert m["sessions_total"] >= 1
