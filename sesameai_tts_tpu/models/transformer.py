@@ -29,6 +29,7 @@ transposes torch's ``(out, in)`` Linear layout.
 from __future__ import annotations
 
 import math
+import os
 from typing import NamedTuple, Optional, Tuple
 
 import jax
@@ -205,6 +206,14 @@ def _update_cache(
         return jax.lax.dynamic_update_slice(
             cache_k, new_k, (jnp.int32(0), jnp.int32(0), pos0[0], jnp.int32(0))
         )
+    if new_k.shape[2] == 1 and os.environ.get("KV_UPDATE_B", "loop") == "scatter":
+        # one batched scatter for the decode step (S=1) — measured SLOWER
+        # than the chained loop on the B=8 serving tick (10.2 vs
+        # 9.2 ms/frame, same session): XLA's scatter materializes buffer
+        # copies the DUS chain avoids. Kept as a toggle for future
+        # platforms; equivalence-tested in test_transformer.py
+        b_idx = jnp.arange(B)
+        return cache_k.at[b_idx, :, pos0, :].set(new_k[:, :, 0, :])
     # chained per-slot updates keep the buffer update-in-place for small B
     # (serving slot pools); a vmapped DUS forces whole-buffer copies
     for b in range(B):

@@ -126,3 +126,21 @@ def test_padded_prefill_matches_unpadded(params, rope_cs):
         params, CFG, xt, jnp.full((B,), S, jnp.int32), cache_b, rope_cs
     )
     np.testing.assert_allclose(np.asarray(hb_t), np.asarray(ha_t), rtol=1e-4, atol=1e-4)
+
+
+def test_update_cache_scatter_matches_loop(monkeypatch):
+    """The batched-scatter KV update (KV_UPDATE_B=scatter, S=1 decode)
+    writes exactly what the chained-DUS loop writes."""
+    from sesameai_tts_tpu.models.transformer import _update_cache
+
+    B, KV, T, hd = 5, 2, 16, 8
+    rng = np.random.default_rng(0)
+    cache = jnp.asarray(rng.normal(size=(B, KV, T, hd)).astype(np.float32))
+    new = jnp.asarray(rng.normal(size=(B, KV, 1, hd)).astype(np.float32))
+    pos0 = jnp.asarray([0, 3, 15, 7, 7], jnp.int32)
+
+    monkeypatch.setenv("KV_UPDATE_B", "loop")
+    out_loop = _update_cache(cache, new, pos0)
+    monkeypatch.setenv("KV_UPDATE_B", "scatter")
+    out_scatter = _update_cache(cache, new, pos0)
+    np.testing.assert_array_equal(np.asarray(out_loop), np.asarray(out_scatter))
