@@ -75,7 +75,8 @@ def main():
     # -- headline: PRODUCT-DEFAULT schedule (offline ramp 25→50→100…) ------
     t0 = time.time()
     gen = build_generator(csm_1b_spec())
-    print(f"build: {time.time()-t0:.1f}s", file=sys.stderr)
+    print(f"build: {time.time()-t0:.1f}s (adaptive offline base "
+          f"{gen._offline_chunk_frames} frames)", file=sys.stderr)
     rtf = _measure_rtf(gen, text, "default")
 
     # -- tuned: the 10 s budget in ONE dispatch (fixed-length workloads) ---

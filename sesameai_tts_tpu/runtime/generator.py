@@ -40,6 +40,10 @@ from sesameai_tts_tpu.models.transformer import precompute_rope
 from sesameai_tts_tpu.runtime.frames import FrameTokenizer, Segment
 from sesameai_tts_tpu.utils.profiling import Metrics
 
+import logging
+
+log = logging.getLogger(__name__)
+
 MAX_SEQ_LEN = 2048  # backbone positions (reference generator.py:169)
 FRAME_MS = 80.0  # 12.5 Hz (reference generator.py:151)
 
@@ -137,12 +141,23 @@ class Generator:
         # offline generate() ramps from a bigger base than streaming:
         # nobody consumes partial audio mid-utterance, so the only cost
         # of a larger first chunk is EOS-overshoot — and the descend-fit
-        # tail bounds overshoot to < base frames either way
-        self._offline_chunk_frames = (
-            offline_chunk_frames
-            if offline_chunk_frames is not None
-            else max(25, decode_chunk_frames)
-        )
+        # tail bounds overshoot to < base frames either way.
+        # The best base depends on the host↔device link, which on
+        # remote-attached TPUs varies by the hour (measured same programs:
+        # ~30 ms RTT → 25-ramp wins, 0.0965 vs 0.0981 RTF; ~60 ms RTT →
+        # the one-dispatch 125 base wins, 0.107 vs 0.119) — so the default
+        # is chosen from a measured dispatch+fetch probe at build time.
+        if offline_chunk_frames is not None:
+            self._offline_chunk_frames = offline_chunk_frames
+        else:
+            rtt = self._probe_rtt()
+            self._offline_chunk_frames = (
+                max(25, decode_chunk_frames) if rtt < 0.045 else 125
+            )
+            log.info(
+                "link RTT %.1f ms → offline decode base %d frames",
+                rtt * 1e3, self._offline_chunk_frames,
+            )
         self._key = jax.random.PRNGKey(seed)
         self._key_lock = threading.Lock()
         self._rope = precompute_rope(csm_cfg.backbone)
@@ -333,6 +348,25 @@ class Generator:
         toks.append(t)
         masks.append(m)
         return np.concatenate(toks), np.concatenate(masks)
+
+    def _probe_rtt(self) -> float:
+        """Median dispatch+fetch round trip of a trivial program (seconds).
+
+        On remote-attached TPUs this is the per-fetch tax every host sync
+        pays; CPU/local backends measure ~µs.  Used once at build time to
+        pick the offline dispatch schedule."""
+        try:
+            tiny = jax.jit(lambda x: x + 1)
+            x = jnp.zeros((8,), jnp.float32)
+            _ = np.asarray(tiny(x))  # compile + first transfer
+            times = []
+            for _i in range(5):
+                t0 = time.perf_counter()
+                _ = np.asarray(tiny(x))
+                times.append(time.perf_counter() - t0)
+            return float(np.median(times))
+        except Exception:  # never let a probe failure block construction
+            return 0.0
 
     def _next_key(self):
         # admission workers and the serving tick thread share this PRNG
