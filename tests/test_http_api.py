@@ -140,3 +140,38 @@ def test_tts_watermarked_when_configured():
     pcm = np.frombuffer(wav[44:], "<i2").astype(np.float32) / 32767.0
     assert np.abs(pcm).max() <= 1.0
     assert verify(wm, pcm, 24_000, CSM_1B_WATERMARK)
+
+
+def test_tts_stream_watermarked_flows_through_streaming_embedder(api):
+    """/tts/stream with a watermarker streams through the incremental
+    embedder (watermark/stream.py): the full budget arrives, the length
+    matches the unwatermarked stream to within resampler rounding, and
+    the PCM differs (a mark was embedded)."""
+    base, gen = api
+    from sesameai_tts_tpu.runtime.serving import BatchedTTSServer
+    from sesameai_tts_tpu.service.http_api import serve
+    from sesameai_tts_tpu.watermark.api import CSM_1B_WATERMARK, load_watermarker
+
+    engine = BatchedTTSServer(gen, slots=1, chunk_frames=4)
+    engine.start()
+    httpd = serve(engine, host="127.0.0.1", port=0,
+                  sample_rate=gen.sample_rate,
+                  watermarker=(load_watermarker(), CSM_1B_WATERMARK))
+    wm_base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    try:
+        # greedy (topk=1) is PRNG-key-invariant, so the plain and
+        # watermarked sessions decode identical frames — the only
+        # difference left is the embedded mark
+        body = {"text": "stream with provenance", "max_audio_length_ms": 800,
+                "temperature": 1.0, "topk": 1}
+        with _post(wm_base, "/tts/stream", body) as r:
+            marked = np.frombuffer(r.read(), np.float32)
+        with _post(base, "/tts/stream", body) as r:
+            plain = np.frombuffer(r.read(), np.float32)
+        assert abs(len(marked) - len(plain)) <= 2
+        assert len(marked) > 0 and np.isfinite(marked).all()
+        n = min(len(marked), len(plain))
+        assert not np.allclose(marked[:n], plain[:n])  # embedding happened
+    finally:
+        httpd.shutdown()
+        engine.stop()
