@@ -56,9 +56,11 @@ class StorytellerApp(WebAppBase):
         """Either ask the LLM to continue with `prompt`, or treat `prompt`
         as pasted story text directly (the two tab modes,
         reference web_storyteller.py:433-452).  ``is_continuation=False``
-        is the "Start New Story/Text" button: the running story, its
-        audio groups and saved WAVs are discarded first (reference's
-        is_continuation flag, web_storyteller.py:556-609).
+        is the "Start New Story/Text" button: in-memory story state and
+        the UI file list reset, but WAVs already exported stay on disk
+        (only the explicit Reset Session purges them — an accidental
+        Enter must not delete narration; reference's is_continuation
+        flag, web_storyteller.py:556-609).
 
         Yields (story_text, status, start_idx, end_idx, active,
         replay_audio). When continuing an existing story, ``replay_audio``

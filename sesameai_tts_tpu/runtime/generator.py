@@ -366,6 +366,11 @@ class Generator:
                 times.append(time.perf_counter() - t0)
             return float(np.median(times))
         except Exception:  # never let a probe failure block construction
+            log.warning(
+                "link RTT probe failed — assuming a fast link (offline "
+                "base %d); pass offline_chunk_frames to override",
+                25, exc_info=True,
+            )
             return 0.0
 
     def _next_key(self):

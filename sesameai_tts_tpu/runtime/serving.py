@@ -298,21 +298,11 @@ class BatchedTTSServer:
             # scatter (was the dominant under-load latency term: ~1 tick
             # cadence + attach, measured +60-80 ms at 3 busy slots)
             if not done1_np:
-                session.first_audio_at = time.time()
-                self.metrics.record(
-                    "ttfa_s", session.first_audio_at - session.submitted_at
-                )
-                with self._lock:
-                    self._frames_total += 1
-                session.frames_out.append(frame_np)
-                session.chunks.put(wav0)
+                self._emit_session(session, frame_np, wav0)
             if done1_np or max_gen <= 1:
                 # EOS on the prefill frame / 1-frame budget: the session
                 # is complete without ever occupying a slot
-                session.finished_at = time.time()
-                self.metrics.record("session_s",
-                                    session.finished_at - session.submitted_at)
-                session.chunks.put(None)
+                self._finish_session(session)
                 self._admitting -= 1
                 continue
             item = (session, frame, state1, max_gen, ms1)
@@ -348,12 +338,10 @@ class BatchedTTSServer:
         self._temperature[slot] = session.temperature
         self._topk[slot] = session.topk
 
-    def _emit(self, slot: int, frames: np.ndarray, pcm: np.ndarray):
-        """frames: (n, K) codes, pcm: (n*hop,) — both already on host (the
-        fused tick program decoded the PCM)."""
-        session = self._sessions[slot]
-        if session is None or frames.shape[0] == 0:
-            return
+    def _emit_session(self, session: Session, frames: np.ndarray,
+                      pcm: np.ndarray):
+        """Shared audio-emission bookkeeping (tick AND admission threads):
+        TTFA metric on first audio, frame counters, chunk delivery."""
         if session.first_audio_at is None:
             session.first_audio_at = time.time()
             self.metrics.record("ttfa_s", session.first_audio_at - session.submitted_at)
@@ -362,12 +350,24 @@ class BatchedTTSServer:
         session.frames_out.append(frames)
         session.chunks.put(pcm)
 
+    def _finish_session(self, session: Session):
+        """Shared completion bookkeeping: timestamps, metric, terminator."""
+        session.finished_at = time.time()
+        self.metrics.record("session_s", session.finished_at - session.submitted_at)
+        session.chunks.put(None)
+
+    def _emit(self, slot: int, frames: np.ndarray, pcm: np.ndarray):
+        """frames: (n, K) codes, pcm: (n*hop,) — both already on host (the
+        fused tick program decoded the PCM)."""
+        session = self._sessions[slot]
+        if session is None or frames.shape[0] == 0:
+            return
+        self._emit_session(session, frames, pcm)
+
     def _finish(self, slot: int):
         session = self._sessions[slot]
         if session is not None:
-            session.finished_at = time.time()
-            self.metrics.record("session_s", session.finished_at - session.submitted_at)
-            session.chunks.put(None)
+            self._finish_session(session)
         self._sessions[slot] = None
         self._done = self._mark_done(self._done, jnp.int32(slot))
         self._budget[slot] = 0

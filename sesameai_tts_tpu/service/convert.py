@@ -91,12 +91,13 @@ def _convert_silentcipher(src: str, dst: str, dtype, verify: bool,
     from sesameai_tts_tpu.watermark.net import load_silentcipher_checkpoint
 
     model = load_silentcipher_checkpoint(src)
-    model.params = jax.tree.map(
-        lambda x: jnp.asarray(x, dtype) if jnp.issubdtype(
-            jnp.asarray(x).dtype, jnp.floating) else jnp.asarray(x),
-        model.params,
-    )
-    print(f"converted silentcipher tree ({jnp.dtype(dtype).name}): "
+    if dtype != jnp.float32:
+        # the watermark net's STFT/conv path runs float32 (bf16 weights
+        # would dtype-mismatch lax.conv against the f32 magnitudes), and
+        # at ~a few MB there is nothing to save — keep f32 and say so
+        print("note: the silentcipher net runs float32; --dtype ignored "
+              "for this family")
+    print(f"converted silentcipher tree (float32): "
           f"{_tree_stats(model.params)}")
     if verify:
         x = np.zeros(44_100, np.float32)

@@ -432,6 +432,8 @@ def load_silentcipher_checkpoint(path: str, hparams: Optional[dict] = None):
         cfg_path = os.path.abspath(path).rstrip("/") + ".config.json"
         with open(cfg_path) as f:
             raw_cfg = json.load(f)
+        if hparams:  # explicit overrides win, same as the torch-file path
+            raw_cfg.update(hparams)
         fields = {f.name for f in dataclasses.fields(SilentCipherConfig)}
         cfg = SilentCipherConfig(
             **{k: v for k, v in raw_cfg.items() if k in fields}
