@@ -166,10 +166,10 @@ class TTSRequestHandler(BaseHTTPRequestHandler):
 
         # /tts/stream — chunked raw float32 PCM, flushed as emitted.
         # With a watermarker configured (flagship), PCM flows through the
-        # STREAMING embedder (watermark/stream.py): one continuous
-        # watermark grid across the whole response, ~95 ms pipeline
-        # latency, every ≥4 s prefix verifiable.  Backends without
-        # streaming support (the ported silentcipher net) fall back to
+        # STREAMING embedder (watermark/stream.py) — DSP scheme and the
+        # ported silentcipher net both stream: one continuous watermark
+        # across the whole response at ~0.1-0.2 s pipeline latency,
+        # every ≥4 s prefix verifiable.  Unknown backends fall back to
         # ≥4 s watermarked groups.  (The reference's own streaming path
         # emits unwatermarked audio; this surface does not.)
         self.send_response(200)

@@ -226,11 +226,256 @@ def make_streaming_watermarker(
 ):
     """Streaming pipeline for a watermark backend, or None.
 
-    Only the DSP scheme supports incremental embedding; the ported
-    silentcipher network (watermark/net.py) operates on whole clips, so
-    callers fall back to ≥4 s group mode when it is active."""
-    if not isinstance(watermarker, Watermarker):
+    Both backends stream: the DSP scheme via ``StreamingWatermarker``,
+    the ported silentcipher network via ``StreamingNetEmbedder`` (exact
+    overlap-save over the conv receptive field).  Unknown backends get
+    None and callers fall back to ≥4 s group mode."""
+    if isinstance(watermarker, Watermarker):
+        if message_sdr is None:
+            message_sdr = getattr(watermarker, "default_message_sdr", 30.0)
+        return StreamingWatermarker(key, io_rate, message_sdr)
+    return make_streaming_net_watermarker(watermarker, key, io_rate, message_sdr)
+
+
+# ---------------------------------------------------------------------------
+# Streaming embed for the ported silentcipher NETWORK backend
+#
+# The net's residual at STFT frame t depends on mag frames
+# [t-L, t+L] only (L = Σ kw//2 over the enc_c+dec_c conv stacks) and on
+# the frame's own phase — so overlap-save streaming is EXACT: each block
+# is computed with L real context frames on both sides and only the
+# center kept.  Offline-bucket zero-pad frames are reproduced by zero
+# sample context at the stream end (a zero-input frame is what the
+# offline encoder sees there, which is NOT the same as conv zero-pad
+# beyond the first layer — bias terms flow).  The only deviation from
+# offline encode_wav is α: offline solves the message-SDR gain over the
+# whole clip at once, the stream uses the cumulative energies up to
+# each emitted block (converges within the first seconds).
+# ---------------------------------------------------------------------------
+
+
+def _net_receptive_halfwidth(params: dict) -> int:
+    return sum(
+        int(blk["w"].shape[3]) // 2
+        for stack in (params["enc_c"], params["dec_c"])
+        for blk in stack
+    )
+
+
+class StreamingNetEmbedder:
+    """Incremental 44.1 kHz embed through the ported silentcipher net.
+
+    feed()/close() mirror ``StreamingEmbedder``; per-block compute runs
+    one jitted program (static block size → one compile).  ``alpha``
+    pins the embed gain for exactness tests; by default the gain tracks
+    the cumulative signal/residual energies (offline solves it globally).
+    """
+
+    _BLOCK = 32  # frames per jitted block
+
+    def __init__(self, model, message, message_sdr: Optional[float] = None,
+                 alpha: Optional[float] = None):
+        import functools
+
+        import jax
+        import jax.numpy as jnp
+
+        self._model = model
+        cfg = model.cfg
+        self._pad = cfg.n_fft // 2
+        self._hop = cfg.hop
+        self._n_fft = cfg.n_fft
+        self._L = _net_receptive_halfwidth(model.params)
+        self._msg = np.asarray(message, np.int64)
+        sdr = cfg.default_message_sdr if message_sdr is None else message_sdr
+        self._gain = 10.0 ** (-sdr / 20.0)
+        self._alpha_fixed = alpha
+        win = np.hanning(cfg.n_fft + 1)[:-1].astype(np.float32)
+        self._win2 = (win * win).astype(np.float64)
+
+        # input buffer in OUTPUT coords, trimmed as frames/emission drain
+        self._xin = np.zeros(0, np.float32)
+        self._xin0 = 0
+        self._n_in = 0
+        self._head: Optional[np.ndarray] = None  # the offline reflect pad
+        self._f_done = 0
+        self._ola = np.zeros(0, np.float64)  # resid OLA from _out0 (xpad coords)
+        self._wsum = np.zeros(0, np.float64)
+        self._out0 = 0
+        self._emitted = 0
+        self._cum_sig = 0.0
+        self._cum_noise = 0.0
+        self._closed = False
+
+        n_fft, hop = cfg.n_fft, cfg.hop
+
+        @functools.partial(jax.jit, static_argnames=("frames", "keep_lo"))
+        def block_segs(params, xseg, message, frames, keep_lo):
+            """frames STFT frames from xseg (frame i = xseg[i*hop:i*hop+n_fft])
+            → windowed resid time segments for frames [keep_lo, frames)."""
+            winj = jnp.asarray(win)
+            starts = jnp.arange(frames) * hop
+            segs = jax.vmap(
+                lambda s: jax.lax.dynamic_slice(xseg, (s,), (n_fft,))
+            )(starts)
+            spec = jnp.fft.rfft(segs * winj, axis=-1)
+            mag = jnp.abs(spec)
+            phase = spec / (mag + 1e-8)
+            mag4 = mag.T[None, None]
+            from sesameai_tts_tpu.watermark.net import _stack_apply
+
+            feats = _stack_apply(params["enc_c"], mag4)
+            msg = params["enc_m"][message]
+            msg_ch = jnp.broadcast_to(
+                msg[None, :, :, None], (1, msg.shape[0], msg.shape[1], frames)
+            )
+            resid = _stack_apply(
+                params["dec_c"], jnp.concatenate([mag4, feats, msg_ch], axis=1)
+            )[0, 0].T  # (frames, n_bins)
+            out = jnp.fft.irfft(resid * phase, n=n_fft, axis=-1) * winj
+            return out[keep_lo:]
+
+        self._block_segs = block_segs
+
+    # -- internals ---------------------------------------------------------
+
+    def _xpad_slice(self, lo: int, hi: int) -> np.ndarray:
+        """xpad[lo:hi] where xpad = reflect_head(pad) + input (+ zeros
+        past the end) — the exact signal the offline STFT frames see."""
+        out = np.zeros(hi - lo, np.float32)
+        h_lo, h_hi = max(lo, 0), min(hi, self._pad)
+        if h_hi > h_lo:
+            out[h_lo - lo : h_hi - lo] = self._head[h_lo:h_hi]
+        x_lo = max(lo, self._pad)
+        x_hi = min(hi, self._pad + self._n_in)
+        if x_hi > x_lo:
+            a = x_lo - self._pad - self._xin0
+            out[x_lo - lo : x_hi - lo] = self._xin[a : a + (x_hi - x_lo)]
+        return out
+
+    def _process_blocks(self, f_end: Optional[int]) -> None:
+        """Process frame blocks; with f_end None only blocks whose full
+        ±L context has arrived run, else run through frame f_end with
+        zero context past the stream end (the offline bucket padding)."""
+        hop, n_fft, L, B = self._hop, self._n_fft, self._L, self._BLOCK
+        while True:
+            a = self._f_done
+            b = a + B if f_end is None else min(a + B, f_end)
+            if b <= a:
+                return
+            hi_sample = (b + L - 1) * hop + n_fft  # xpad coords
+            if f_end is None and hi_sample > self._pad + self._n_in:
+                return
+            lo_f = max(0, a - L)
+            seg = self._xpad_slice(lo_f * hop, hi_sample)
+            import jax.numpy as jnp
+
+            out = np.asarray(
+                self._block_segs(
+                    self._model.params, jnp.asarray(seg), self._msg,
+                    b + L - lo_f, a - lo_f,
+                ),
+                np.float64,
+            )[: b - a]
+            need = (b - 1) * hop + n_fft - self._out0
+            if need > len(self._ola):
+                grow = need - len(self._ola)
+                self._ola = np.concatenate([self._ola, np.zeros(grow)])
+                self._wsum = np.concatenate([self._wsum, np.zeros(grow)])
+            for t in range(b - a):
+                s = (a + t) * hop - self._out0
+                self._ola[s : s + n_fft] += out[t]
+                self._wsum[s : s + n_fft] += self._win2
+            self._f_done = b
+
+    def _emit_ready(self) -> np.ndarray:
+        """Emit y = x + α·resid for settled output samples, trim buffers."""
+        settled = min(self._f_done * self._hop - self._pad, self._n_in)
+        n = settled - self._emitted
+        if n <= 0:
+            return np.zeros(0, np.float32)
+        lo = self._emitted + self._pad - self._out0
+        resid = self._ola[lo : lo + n] / np.maximum(self._wsum[lo : lo + n], 1e-8)
+        xs = self._xin[self._emitted - self._xin0 : settled - self._xin0]
+        self._cum_sig += float(np.sum(xs.astype(np.float64) ** 2))
+        self._cum_noise += float(np.sum(resid**2))
+        alpha = (
+            self._alpha_fixed
+            if self._alpha_fixed is not None
+            else self._gain * np.sqrt(self._cum_sig / max(self._cum_noise, 1e-20))
+        )
+        y = (xs + alpha * resid).astype(np.float32)
+        drop = self._emitted + self._pad - self._out0 + n
+        self._ola = self._ola[drop:]
+        self._wsum = self._wsum[drop:]
+        self._out0 += drop
+        self._emitted = settled
+        # keep input still needed by future frames or emission
+        keep = min(self._emitted,
+                   max(0, (self._f_done - self._L) * self._hop - self._pad))
+        if keep > self._xin0:
+            self._xin = self._xin[keep - self._xin0 :]
+            self._xin0 = keep
+        return y
+
+    # -- public ------------------------------------------------------------
+
+    def feed(self, x: np.ndarray) -> np.ndarray:
+        assert not self._closed
+        x = np.asarray(x, np.float32)
+        self._xin = np.concatenate([self._xin, x])
+        self._n_in += len(x)
+        if self._head is None:
+            if self._n_in < self._pad + 1:
+                return np.zeros(0, np.float32)
+            first = self._xin[: self._pad + 1]  # _xin0 == 0 before any trim
+            self._head = first[1:][::-1].copy()  # np.pad reflect semantics
+        self._process_blocks(None)
+        return self._emit_ready()
+
+    def close(self) -> np.ndarray:
+        assert not self._closed
+        self._closed = True
+        if self._n_in == 0:
+            return np.zeros(0, np.float32)
+        if self._head is None:  # shorter than one pad: offline zero-pads
+            # the clip to the frame bucket BEFORE reflecting — reproduce
+            ext = np.pad(self._xin, (0, self._pad + 1 - self._n_in))
+            self._head = ext[1:][::-1].copy()
+        nf = 1 + self._n_in // self._hop
+        f_end = nf + -(-self._pad // self._hop)  # covers every real sample
+        self._process_blocks(max(f_end, self._f_done))
+        return self._emit_ready()
+
+
+def make_streaming_net_watermarker(model, key, io_rate: int,
+                                   message_sdr: Optional[float] = None):
+    """Streaming pipeline (resample → net embed → resample) for the
+    ported silentcipher backend."""
+    from sesameai_tts_tpu.watermark.net import NetWatermarker
+
+    if not isinstance(model, NetWatermarker):
         return None
-    if message_sdr is None:
-        message_sdr = getattr(watermarker, "default_message_sdr", 30.0)
-    return StreamingWatermarker(key, io_rate, message_sdr)
+
+    class _Pipe:
+        def __init__(self):
+            rate = model.cfg.sample_rate
+            self._up = (StreamingResampler(io_rate, rate)
+                        if io_rate != rate else None)
+            self._emb = StreamingNetEmbedder(model, key, message_sdr)
+            self._down = (StreamingResampler(rate, io_rate)
+                          if io_rate != rate else None)
+
+        def feed(self, pcm):
+            x = self._up.feed(pcm) if self._up else np.asarray(pcm, np.float32)
+            y = self._emb.feed(x)
+            return self._down.feed(y) if self._down else y
+
+        def close(self):
+            x = self._up.close() if self._up else np.zeros(0, np.float32)
+            y = np.concatenate([self._emb.feed(x), self._emb.close()])
+            if not self._down:
+                return y
+            return np.concatenate([self._down.feed(y), self._down.close()])
+
+    return _Pipe()

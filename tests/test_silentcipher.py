@@ -234,3 +234,84 @@ def test_api_backend_selection(tmp_path, monkeypatch):
 
     monkeypatch.setenv("SILENTCIPHER_CKPT", path)
     assert isinstance(load_watermarker(), NetWatermarker)
+
+
+def test_streaming_net_embed_matches_offline():
+    """StreamingNetEmbedder == the offline _embed_jit residual (fixed α):
+    overlap-save with ±L conv context is exact, not an approximation."""
+    import jax
+    import jax.numpy as jnp
+
+    from sesameai_tts_tpu.watermark.net import (
+        NetWatermarker,
+        _bucket_frames,
+        _embed_jit,
+        _frames_for,
+        init_params,
+        silentcipher_test_tiny,
+    )
+    from sesameai_tts_tpu.watermark.stream import StreamingNetEmbedder
+
+    cfg = silentcipher_test_tiny()
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    model = NetWatermarker(params, cfg)
+    msg = [212, 211, 146, 56, 201]
+
+    rng = np.random.default_rng(7)
+    n = 5 * cfg.hop * 37 + 13  # awkward length
+    x = (rng.normal(size=n) * 0.2).astype(np.float32)
+
+    frames = _bucket_frames(_frames_for(n, cfg))
+    xp = np.pad(x, (0, frames * cfg.hop - n))
+    resid_off, _, _ = _embed_jit(
+        params, cfg, jnp.asarray(xp), jnp.asarray(msg, jnp.int32),
+        frames, jnp.int32(n),
+    )
+    resid_off = np.asarray(resid_off)[:n]
+
+    se = StreamingNetEmbedder(model, msg, alpha=1.0)
+    outs, i = [], 0
+    while i < n:
+        c = int(rng.integers(50, 900))
+        outs.append(se.feed(x[i : i + c]))
+        i += c
+    outs.append(se.close())
+    y = np.concatenate(outs)
+    assert len(y) == n
+    resid_stream = y - x
+    np.testing.assert_allclose(
+        resid_stream, resid_off, atol=5e-5 + 1e-3 * np.abs(resid_off).max()
+    )
+
+
+def test_streaming_net_pipeline_shape_and_latency():
+    """The net streaming pipe (resample→embed→resample) preserves length
+    and emits well before the 4 s group fallback would."""
+    import jax
+
+    from sesameai_tts_tpu.watermark.net import (
+        NetWatermarker,
+        init_params,
+        silentcipher_test_tiny,
+    )
+    from sesameai_tts_tpu.watermark.stream import make_streaming_net_watermarker
+
+    cfg = silentcipher_test_tiny()
+    model = NetWatermarker(init_params(cfg, jax.random.PRNGKey(1)), cfg)
+    pipe = make_streaming_net_watermarker(model, [1, 2, 3, 4, 5], 24_000)
+    assert pipe is not None
+
+    rng = np.random.default_rng(3)
+    audio = (rng.normal(size=24_000 * 2) * 0.1).astype(np.float32)
+    outs, first_at, fed = [], None, 0
+    for i in range(0, len(audio), 1920):
+        out = pipe.feed(audio[i : i + 1920])
+        fed += 1920
+        if len(out) and first_at is None:
+            first_at = fed
+        outs.append(out)
+    outs.append(pipe.close())
+    y = np.concatenate(outs)
+    assert abs(len(y) - len(audio)) <= 2
+    assert np.isfinite(y).all()
+    assert first_at is not None and first_at <= 24_000  # « 4 s groups
