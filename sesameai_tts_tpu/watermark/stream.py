@@ -15,7 +15,10 @@ incrementally:
   embedder would have produced for that prefix (same grid phase, same
   OLA normalization), and every ≥4 s prefix verifies;
 * ``StreamingWatermarker`` chains resample → embed → resample for the
-  service layer (feed 24 kHz PCM chunks, get 24 kHz watermarked PCM).
+  service layer (feed 24 kHz PCM chunks, get 24 kHz watermarked PCM);
+* ``StreamingNetEmbedder`` streams the ported silentcipher NETWORK the
+  same way — exact overlap-save over the conv stacks' receptive field —
+  so real-weight deployments keep the low-latency path too.
 
 Pipeline latency is ~95 ms of audio (4-frame lookahead + one STFT
 window + resampler half-filters), vs 4 s for group mode.  The embedder
