@@ -312,6 +312,17 @@ class StreamingNetEmbedder:
 
         n_fft, hop = cfg.n_fft, cfg.hop
 
+        # blocks run on the DEFAULT backend. Pinning them to the host
+        # CPU was attempted and abandoned: on this remote-attached axon
+        # platform, touching the CPU backend (jax.devices("cpu") /
+        # device_put) after the TPU client is live HANGS the process —
+        # and a numpy port is infeasible (~3 GMAC per 370 ms block).
+        # Cost on a remote TPU: one ~30 ms round trip per block (~8% of
+        # realtime per stream); acceptable for the weights-available
+        # deployment this path serves.
+        self._params_cpu = model.params
+        self._msg_cpu = jnp.asarray(self._msg)
+
         @functools.partial(jax.jit, static_argnames=("frames", "keep_lo"))
         def block_segs(params, xseg, message, frames, keep_lo):
             """frames STFT frames from xseg (frame i = xseg[i*hop:i*hop+n_fft])
@@ -371,11 +382,9 @@ class StreamingNetEmbedder:
                 return
             lo_f = max(0, a - L)
             seg = self._xpad_slice(lo_f * hop, hi_sample)
-            import jax.numpy as jnp
-
             out = np.asarray(
                 self._block_segs(
-                    self._model.params, jnp.asarray(seg), self._msg,
+                    self._params_cpu, seg, self._msg_cpu,
                     b + L - lo_f, a - lo_f,
                 ),
                 np.float64,
