@@ -374,9 +374,13 @@ class StreamingNetEmbedder:
         hop, n_fft, L, B = self._hop, self._n_fft, self._L, self._BLOCK
         while True:
             a = self._f_done
-            b = a + B if f_end is None else min(a + B, f_end)
-            if b <= a:
+            if f_end is not None and a >= f_end:
                 return
+            # blocks are ALWAYS full B frames — a residual-sized close
+            # block would mint a fresh jit signature per utterance length
+            # (minutes of remote compile each). Frames past f_end read
+            # zero samples and only write OLA beyond the emitted range.
+            b = a + B
             hi_sample = (b + L - 1) * hop + n_fft  # xpad coords
             if f_end is None and hi_sample > self._pad + self._n_in:
                 return
