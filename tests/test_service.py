@@ -144,3 +144,20 @@ def test_generate_tts_audio_helper(tts, tmp_path):
     assert rate == 24_000 and len(audio) > 0
     os.remove(path)
     assert generate_tts_audio("", tts) is None  # empty text → None
+
+
+def test_smoke_harness_tiny_selftest(capsys):
+    """sesame-tts-smoke --flavor test-tiny: the acceptance harness runs
+    end-to-end on random tiny weights; every check except codec passes
+    (random weights can't reconstruct audio — documented in --help),
+    proving a real-weight failure would be DETECTED, not skipped."""
+    from sesameai_tts_tpu.service.smoke import main as smoke_main
+
+    rc = smoke_main(["--flavor", "test-tiny", "--text", "Smoke self test."])
+    out = capsys.readouterr().out
+    assert "[PASS] load" in out
+    assert "[PASS] generate" in out
+    assert "[PASS] greedy" in out
+    assert "[PASS] watermark" in out
+    assert "[FAIL] codec" in out  # random weights: the gate works
+    assert rc == 1  # failing checks propagate to the exit code
