@@ -150,10 +150,9 @@ class Generator:
         if offline_chunk_frames is not None:
             self._offline_chunk_frames = offline_chunk_frames
         else:
-            rtt = self._probe_rtt()
-            self._offline_chunk_frames = (
-                max(25, decode_chunk_frames) if rtt < 0.045 else 125
-            )
+            fallback = max(25, decode_chunk_frames)
+            rtt = self._probe_rtt(fallback)
+            self._offline_chunk_frames = fallback if rtt < 0.045 else 125
             log.info(
                 "link RTT %.1f ms → offline decode base %d frames",
                 rtt * 1e3, self._offline_chunk_frames,
@@ -349,7 +348,7 @@ class Generator:
         masks.append(m)
         return np.concatenate(toks), np.concatenate(masks)
 
-    def _probe_rtt(self) -> float:
+    def _probe_rtt(self, fallback_base: int = 25) -> float:
         """Median dispatch+fetch round trip of a trivial program (seconds).
 
         On remote-attached TPUs this is the per-fetch tax every host sync
@@ -369,7 +368,7 @@ class Generator:
             log.warning(
                 "link RTT probe failed — assuming a fast link (offline "
                 "base %d); pass offline_chunk_frames to override",
-                25, exc_info=True,
+                fallback_base, exc_info=True,
             )
             return 0.0
 

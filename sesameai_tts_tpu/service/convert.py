@@ -100,9 +100,10 @@ def _convert_silentcipher(src: str, dst: str, dtype, verify: bool,
     print(f"converted silentcipher tree (float32): "
           f"{_tree_stats(model.params)}")
     if verify:
-        x = np.zeros(44_100, np.float32)
-        y, _ = model.encode_wav(x, 44_100, [212, 211, 146, 56, 201])
-        print(f"verify: encode_wav ok ({len(y)} samples)")
+        rate = model.cfg.sample_rate  # converted hparams may not be 44.1k
+        x = np.zeros(rate, np.float32)
+        y, _ = model.encode_wav(x, rate, [212, 211, 146, 56, 201])
+        print(f"verify: encode_wav ok ({len(y)} samples @ {rate} Hz)")
     save_pytree(dst, model.params)
     import dataclasses, json, os
 

@@ -23,15 +23,23 @@ import numpy as np
 
 class Metrics:
     """Thread-safe metric aggregation; values are wall-clock seconds or
-    caller-defined units."""
+    caller-defined units.
 
-    def __init__(self):
+    Each series is BOUNDED to the most recent ``maxlen`` samples so a
+    long-lived server's metrics stay O(1) in memory and /metrics-style
+    percentile queries stay O(maxlen), not O(total sessions)."""
+
+    def __init__(self, maxlen: int = 4096):
         self._lock = threading.Lock()
+        self._maxlen = maxlen
         self._series: Dict[str, List[float]] = defaultdict(list)
 
     def record(self, name: str, value: float) -> None:
         with self._lock:
-            self._series[name].append(float(value))
+            s = self._series[name]
+            s.append(float(value))
+            if len(s) > self._maxlen:
+                del s[: len(s) - self._maxlen]
 
     @contextlib.contextmanager
     def timer(self, name: str) -> Iterator[None]:

@@ -76,12 +76,17 @@ def watermark(
     search)."""
     if message_sdr is None:
         message_sdr = getattr(watermarker, "default_message_sdr", 30.0)
-    audio_44k = resample(audio, sample_rate, WATERMARK_RATE)
+    # the backend's operating rate: 44.1 kHz for the DSP scheme and the
+    # published silentcipher model, but converted checkpoints may carry
+    # a different hparams sample_rate (silentcipher also ships 16 kHz)
+    wm_rate = getattr(getattr(watermarker, "cfg", None), "sample_rate",
+                      WATERMARK_RATE)
+    audio_wm = resample(audio, sample_rate, wm_rate)
     encoded, _ = watermarker.encode_wav(
-        audio_44k, WATERMARK_RATE, watermark_key, calc_sdr=False, message_sdr=message_sdr
+        audio_wm, wm_rate, watermark_key, calc_sdr=False, message_sdr=message_sdr
     )
-    output_sample_rate = min(WATERMARK_RATE, sample_rate)
-    encoded = resample(encoded, WATERMARK_RATE, output_sample_rate)
+    output_sample_rate = min(wm_rate, sample_rate)
+    encoded = resample(encoded, wm_rate, output_sample_rate)
     return encoded, output_sample_rate
 
 
@@ -91,9 +96,11 @@ def verify(
     sample_rate: int,
     watermark_key: List[int],
 ) -> bool:
-    audio_44k = resample(watermarked_audio, sample_rate, WATERMARK_RATE)
+    wm_rate = getattr(getattr(watermarker, "cfg", None), "sample_rate",
+                      WATERMARK_RATE)
+    audio_wm = resample(watermarked_audio, sample_rate, wm_rate)
     result = watermarker.decode_wav(
-        audio_44k, WATERMARK_RATE, phase_shift_decoding=True,
+        audio_wm, wm_rate, phase_shift_decoding=True,
         expected_message=watermark_key,
     )
     is_watermarked = result["status"]

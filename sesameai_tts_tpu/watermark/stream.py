@@ -265,6 +265,58 @@ def _net_receptive_halfwidth(params: dict) -> int:
     )
 
 
+_NET_BLOCK_IMPL = None
+
+
+def _net_block_segs(params, cfg, xseg, message, frames: int, keep_lo: int):
+    """Jitted per-block net residual. MODULE-LEVEL so the jit cache is
+    shared across embedder instances: per-request construction (one
+    embedder per /tts/stream response) never re-traces or re-compiles —
+    two (frames, keep_lo) signatures total per config.
+
+    Runs on the DEFAULT backend: pinning to host CPU was tried and
+    abandoned — on the remote-attached axon platform, touching the CPU
+    backend after the TPU client is live hangs the process."""
+    global _NET_BLOCK_IMPL
+    if _NET_BLOCK_IMPL is None:
+        _NET_BLOCK_IMPL = _make_net_block_impl()
+    return _NET_BLOCK_IMPL(params, cfg, xseg, message, frames, keep_lo)
+
+
+def _make_net_block_impl():
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+
+    @functools.partial(jax.jit, static_argnames=("cfg", "frames", "keep_lo"))
+    def impl(params, cfg, xseg, message, frames, keep_lo):
+        n_fft, hop = cfg.n_fft, cfg.hop
+        win = jnp.asarray(np.hanning(n_fft + 1)[:-1].astype(np.float32))
+        starts = jnp.arange(frames) * hop
+        segs = jax.vmap(
+            lambda s: jax.lax.dynamic_slice(xseg, (s,), (n_fft,))
+        )(starts)
+        spec = jnp.fft.rfft(segs * win, axis=-1)
+        mag = jnp.abs(spec)
+        phase = spec / (mag + 1e-8)
+        mag4 = mag.T[None, None]
+        from sesameai_tts_tpu.watermark.net import _stack_apply
+
+        feats = _stack_apply(params["enc_c"], mag4)
+        msg = params["enc_m"][message]
+        msg_ch = jnp.broadcast_to(
+            msg[None, :, :, None], (1, msg.shape[0], msg.shape[1], frames)
+        )
+        resid = _stack_apply(
+            params["dec_c"], jnp.concatenate([mag4, feats, msg_ch], axis=1)
+        )[0, 0].T  # (frames, n_bins)
+        out = jnp.fft.irfft(resid * phase, n=n_fft, axis=-1) * win
+        return out[keep_lo:]
+
+    return impl
+
+
 class StreamingNetEmbedder:
     """Incremental 44.1 kHz embed through the ported silentcipher net.
 
@@ -278,11 +330,6 @@ class StreamingNetEmbedder:
 
     def __init__(self, model, message, message_sdr: Optional[float] = None,
                  alpha: Optional[float] = None):
-        import functools
-
-        import jax
-        import jax.numpy as jnp
-
         self._model = model
         cfg = model.cfg
         self._pad = cfg.n_fft // 2
@@ -309,47 +356,6 @@ class StreamingNetEmbedder:
         self._cum_sig = 0.0
         self._cum_noise = 0.0
         self._closed = False
-
-        n_fft, hop = cfg.n_fft, cfg.hop
-
-        # blocks run on the DEFAULT backend. Pinning them to the host
-        # CPU was attempted and abandoned: on this remote-attached axon
-        # platform, touching the CPU backend (jax.devices("cpu") /
-        # device_put) after the TPU client is live HANGS the process —
-        # and a numpy port is infeasible (~3 GMAC per 370 ms block).
-        # Cost on a remote TPU: one ~30 ms round trip per block (~8% of
-        # realtime per stream); acceptable for the weights-available
-        # deployment this path serves.
-        self._params_cpu = model.params
-        self._msg_cpu = jnp.asarray(self._msg)
-
-        @functools.partial(jax.jit, static_argnames=("frames", "keep_lo"))
-        def block_segs(params, xseg, message, frames, keep_lo):
-            """frames STFT frames from xseg (frame i = xseg[i*hop:i*hop+n_fft])
-            → windowed resid time segments for frames [keep_lo, frames)."""
-            winj = jnp.asarray(win)
-            starts = jnp.arange(frames) * hop
-            segs = jax.vmap(
-                lambda s: jax.lax.dynamic_slice(xseg, (s,), (n_fft,))
-            )(starts)
-            spec = jnp.fft.rfft(segs * winj, axis=-1)
-            mag = jnp.abs(spec)
-            phase = spec / (mag + 1e-8)
-            mag4 = mag.T[None, None]
-            from sesameai_tts_tpu.watermark.net import _stack_apply
-
-            feats = _stack_apply(params["enc_c"], mag4)
-            msg = params["enc_m"][message]
-            msg_ch = jnp.broadcast_to(
-                msg[None, :, :, None], (1, msg.shape[0], msg.shape[1], frames)
-            )
-            resid = _stack_apply(
-                params["dec_c"], jnp.concatenate([mag4, feats, msg_ch], axis=1)
-            )[0, 0].T  # (frames, n_bins)
-            out = jnp.fft.irfft(resid * phase, n=n_fft, axis=-1) * winj
-            return out[keep_lo:]
-
-        self._block_segs = block_segs
 
     # -- internals ---------------------------------------------------------
 
@@ -387,8 +393,8 @@ class StreamingNetEmbedder:
             lo_f = max(0, a - L)
             seg = self._xpad_slice(lo_f * hop, hi_sample)
             out = np.asarray(
-                self._block_segs(
-                    self._params_cpu, seg, self._msg_cpu,
+                _net_block_segs(
+                    self._model.params, self._model.cfg, seg, self._msg,
                     b + L - lo_f, a - lo_f,
                 ),
                 np.float64,
