@@ -2,7 +2,8 @@
 
 Prints ONE JSON line:
   {"metric": "rtf_proc_per_audio", "value": RTF, "unit": "proc_s/audio_s",
-   "vs_baseline": RTF/0.1, "rtf_tuned_schedule": RTF_tuned}
+   "vs_baseline": RTF/0.1, "rtf_tuned_schedule": RTF_tuned,
+   "agg_frames_per_s_b16": frames_per_s}
 
 RTF = wall-clock processing seconds per second of audio produced by the
 full pipeline (prefill → AR frame decode → Mimi decode), flagship
@@ -182,6 +183,45 @@ def main():
     finally:
         server8.stop()
 
+    # -- throughput config: B=16 saturates the chip ------------------------
+    # (measured slot scaling, same session: B=8 208 f/s → B=16 400 f/s
+    # (1.9×) → B=32 373 f/s with per-stream RTF ≥ 1 (falls behind
+    # realtime). 16 slots is the production throughput config; the
+    # latency config stays 4-8.)
+    server16 = BatchedTTSServer(gen, slots=16, chunk_frames=10)
+    server16.start()
+    try:
+        warm = [server16.submit(text, max_audio_length_ms=1_500) for _ in range(2)]
+        for s in warm:
+            s.audio(timeout=900)
+
+        def run16(n):
+            t0 = time.time()
+            sessions = [server16.submit(text, max_audio_length_ms=6_000,
+                                        temperature=0.8, topk=40)
+                        for _ in range(n)]
+            audios = [s.audio(timeout=900) for s in sessions]
+            wall = time.time() - t0
+            total_audio = sum(len(a) for a in audios) / gen.sample_rate
+            frames = sum(sum(f.shape[0] for f in s.frames_out) for s in sessions)
+            return wall, total_audio, frames
+
+        run16(32)  # warm-up: full-occupancy tick program
+        agg = []
+        for rep in range(2):
+            wall, total_audio, frames = run16(32)
+            agg.append(frames / wall)
+            print(
+                f"serving throughput (B=16, 32 sessions) rep{rep}: "
+                f"{total_audio:.1f}s audio in {wall:.2f}s = "
+                f"{frames/wall:.0f} frames/s aggregate "
+                f"(aggregate RTF {wall/max(total_audio, 1e-9):.4f})",
+                file=sys.stderr,
+            )
+        agg_b16 = float(np.median(agg))
+    finally:
+        server16.stop()
+
     # -- batched decode micro (model-only: no Mimi, no scheduler) ----------
     from sesameai_tts_tpu.models import csm as csm_model_b
 
@@ -238,6 +278,7 @@ def main():
         "unit": "proc_s/audio_s",
         "vs_baseline": round(rtf / 0.1, 3),
         "rtf_tuned_schedule": round(rtf_tuned, 4),
+        "agg_frames_per_s_b16": round(agg_b16, 1),
     }))
 
 
