@@ -3,7 +3,7 @@
 Prints ONE JSON line:
   {"metric": "rtf_proc_per_audio", "value": RTF, "unit": "proc_s/audio_s",
    "vs_baseline": RTF/0.1, "rtf_tuned_schedule": RTF_tuned,
-   "agg_frames_per_s_b16": frames_per_s}
+   "agg_frames_per_s_b16": frames_per_s, "decode_micro_b2_ms": ms}
 
 RTF = wall-clock processing seconds per second of audio produced by the
 full pipeline (prefill → AR frame decode → Mimi decode), flagship
@@ -225,6 +225,7 @@ def main():
     # -- batched decode micro (model-only: no Mimi, no scheduler) ----------
     from sesameai_tts_tpu.models import csm as csm_model_b
 
+    micro_b2 = None
     for B in (2, 4):
         st = csm_model_b.init_state(gen._cfg, B, jnp.bfloat16,
                                     unstacked=gen._unrolled)
@@ -242,6 +243,8 @@ def main():
             st = outp[3]
         _ = np.asarray(outp[0][-1])
         per_frame = (time.time() - t0) / reps / 25
+        if B == 2:
+            micro_b2 = per_frame * 1000
         print(
             f"batched decode micro B={B} (model-only): {per_frame*1000:.2f} "
             f"ms/step = {B/per_frame:.0f} frames/s, per-stream RTF "
@@ -279,6 +282,11 @@ def main():
         "vs_baseline": round(rtf / 0.1, 3),
         "rtf_tuned_schedule": round(rtf_tuned, 4),
         "agg_frames_per_s_b16": round(agg_b16, 1),
+        # drift canary: same cached program every round — healthy link
+        # reads ~6.8-7.4 ms; >=8 means the shared TPU service is in a
+        # slow phase and the headline RTF is inflated (PARITY.md drift
+        # note), not a code regression
+        "decode_micro_b2_ms": round(micro_b2, 2),
     }))
 
 
