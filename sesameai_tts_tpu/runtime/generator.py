@@ -536,28 +536,47 @@ class Generator:
         utt_key = self._next_key()
         decoded = 1
         done_host = False
+        # Lag-1 dispatch: chunk k+1 is dispatched BEFORE chunk k's packed
+        # buffer is fetched, so the ~30 ms fetch round trip (remote-attached
+        # TPU) rides under chunk k+1's device compute instead of stalling
+        # it.  The k+1 decode depends only on device-resident carries
+        # (frame/done/state/mimi_state), never on the fetched bytes.  When
+        # the fetch reveals EOS, the already-dispatched chunk holds only
+        # done-masked invalid frames and is simply never fetched — the same
+        # trade the offline _decode_loop makes.  Emission time of chunk k
+        # is unchanged (its result is compute-bound either way).
+        pending = None  # (packed, n) — dispatched, not yet fetched
         while emitted < max_gen and not done_host:
-            # fixed chunk size: an arbitrary tail size would compile a fresh
-            # program mid-stream (minutes on a remote compile service);
-            # overshoot frames are simply not emitted
-            n = decode_chunk
-            packed, frame, done, state, mimi_state = self._decode_mimi_packed(
-                self._params, self._mimi_params, state, mimi_state, frame, done,
-                utt_key, n, jnp.float32(temperature), topk,
-                jnp.int32(decoded),
-            )
-            decoded += n
-            arr = np.asarray(packed)
-            valid_np = arr[n * K : n * K + n].astype(bool)
-            done_host = bool(arr[n * K + n])
-            n_valid = int(valid_np.sum())  # valid frames are a prefix
-            n_take = min(n_valid, max_gen - emitted)
-            wav_np = arr[n * K + n + 1 :].view(np.float32)
-            # emission granularity is host-side slicing of fetched PCM
-            for start in range(0, n_take, chunk_frames):
-                g = min(chunk_frames, n_take - start)
-                yield emit(wav_np[start * hop : (start + g) * hop])
-            emitted += n_take
+            new_pending = None
+            if decoded < max_gen:
+                # fixed chunk size: an arbitrary tail size would compile a
+                # fresh program mid-stream (minutes on a remote compile
+                # service); overshoot frames are simply not emitted
+                n = decode_chunk
+                packed, frame, done, state, mimi_state = (
+                    self._decode_mimi_packed(
+                        self._params, self._mimi_params, state, mimi_state,
+                        frame, done, utt_key, n, jnp.float32(temperature),
+                        topk, jnp.int32(decoded),
+                    )
+                )
+                decoded += n
+                new_pending = (packed, n)
+            if pending is not None:
+                packed_p, n_p = pending
+                arr = np.asarray(packed_p)
+                done_host = bool(arr[n_p * K + n_p])
+                n_valid = int(arr[n_p * K : n_p * K + n_p].astype(bool).sum())
+                n_take = min(n_valid, max_gen - emitted)  # valid = prefix
+                wav_np = arr[n_p * K + n_p + 1 :].view(np.float32)
+                # emission granularity is host-side slicing of fetched PCM
+                for start in range(0, n_take, chunk_frames):
+                    g = min(chunk_frames, n_take - start)
+                    yield emit(wav_np[start * hop : (start + g) * hop])
+                emitted += n_take
+            pending = new_pending
+            if pending is None:  # budget fully dispatched and drained
+                break
 
     def _stream_pipelined(
         self, frame, state, done, max_gen, temperature, topk,
