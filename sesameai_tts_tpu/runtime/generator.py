@@ -378,6 +378,16 @@ class Generator:
             self._key, k = jax.random.split(self._key)
         return k
 
+    def _utterance_keys(self, seed: Optional[int]):
+        """(prefill_key, decode_key) for one utterance: drawn from the
+        shared stream, or derived from ``seed`` — the same seed always
+        reproduces the same audio (stream == offline already holds per
+        key, so reproducibility spans both APIs)."""
+        if seed is None:
+            return self._next_key(), self._next_key()
+        kp, ku = jax.random.split(jax.random.PRNGKey(seed))
+        return kp, ku
+
     def _init_state(self, batch_size: int) -> csm_model.CSMState:
         """Fresh backbone state; dp-sharded when running on a mesh."""
         state = csm_model.init_state(
@@ -424,9 +434,13 @@ class Generator:
         return (jax.block_until_ready(state), S)
 
     def _prefill_utterance(
-        self, text, speaker, context, cached, max_gen, temperature, topk
+        self, text, speaker, context, cached, max_gen, temperature, topk,
+        key=None,
     ):
-        """Shared prompt prep + prefill → (frame0, state, done)."""
+        """Shared prompt prep + prefill → (frame0, state, done).
+
+        ``key`` overrides the shared PRNG stream (reproducible
+        generation via the public ``seed`` kwargs)."""
         K = self._cfg.audio_num_codebooks
         if cached is not None:
             cached_state, ctx_len = cached
@@ -460,7 +474,8 @@ class Generator:
 
         frame, state = self._prefill(
             self._prefill_params, base_state, jnp.asarray(tok_pad),
-            jnp.asarray(msk_pad), jnp.array([S], jnp.int32), self._next_key(),
+            jnp.asarray(msk_pad), jnp.array([S], jnp.int32),
+            key if key is not None else self._next_key(),
             jnp.float32(temperature), topk,
         )
         done = jnp.all(frame == 0, axis=-1)
@@ -484,25 +499,29 @@ class Generator:
         chunk_frames: Optional[int] = None,
         cached_context=None,
         decode_chunk_frames: Optional[int] = None,
+        seed: Optional[int] = None,
     ) -> Iterator[np.ndarray]:
         """Yield PCM chunks as frames are generated.
 
         Parity: reference generate_stream (generator.py:120-210), but
         chunk granularity is configurable down to a single frame (80 ms)
-        because Mimi decode streams with carried state.
+        because Mimi decode streams with carried state.  ``seed`` makes
+        the utterance reproducible (same seed → identical audio).
         """
         max_gen = int(max_audio_length_ms / FRAME_MS)
         chunk_frames = chunk_frames or self._stream_chunk_frames
         decode_chunk = decode_chunk_frames or self._decode_chunk_frames
+        key_prefill, utt_key = self._utterance_keys(seed)
 
         frame, state, done, max_gen = self._prefill_utterance(
-            text, speaker, context, cached_context, max_gen, temperature, topk
+            text, speaker, context, cached_context, max_gen, temperature, topk,
+            key=key_prefill,
         )
 
         if self._codec_device is not None:
             yield from self._stream_pipelined(
                 frame, state, done, max_gen, temperature, topk,
-                chunk_frames, on_chunk_generated, decode_chunk,
+                chunk_frames, on_chunk_generated, decode_chunk, utt_key,
             )
             return
 
@@ -533,7 +552,6 @@ class Generator:
         # ONE utterance key; per-frame keys are fold_in(key, frame index)
         # inside decode_frames, so the chunk schedule can't change the
         # sampled audio (stream == offline for the same seed)
-        utt_key = self._next_key()
         decoded = 1
         done_host = False
         # Lag-1 dispatch: chunk k+1 is dispatched BEFORE chunk k's packed
@@ -580,7 +598,7 @@ class Generator:
 
     def _stream_pipelined(
         self, frame, state, done, max_gen, temperature, topk,
-        chunk_frames, on_chunk_generated, decode_chunk=None,
+        chunk_frames, on_chunk_generated, decode_chunk=None, utt_key=None,
     ) -> Iterator[np.ndarray]:
         """Two-chip stage pipeline: AR decode on the model chip, Mimi on
         ``codec_device``.  While the codec chip decodes chunk k's PCM, the
@@ -613,7 +631,8 @@ class Generator:
         done_host = False
         pending = None  # (wav_dev on codec chip, n_take) — emitted lag-1
         decode_chunk = decode_chunk or self._decode_chunk_frames
-        utt_key = self._next_key()
+        if utt_key is None:
+            utt_key = self._next_key()
         decoded = 1
         while emitted < max_gen and not done_host:
             n = decode_chunk
@@ -660,17 +679,21 @@ class Generator:
         topk: int = 30,
         stream: bool = False,
         cached_context=None,
+        seed: Optional[int] = None,
     ) -> np.ndarray:
         """Full-utterance generation (reference generator.py:212-300).
 
         ``stream=True`` concatenates streamed chunks (reference
         :238-248); otherwise frames are collected on device and decoded
-        in one offline Mimi pass (exact — causal decoder)."""
+        in one offline Mimi pass (exact — causal decoder).  ``seed``
+        makes the utterance reproducible; the same seed yields the same
+        audio from ``generate`` and ``generate_stream`` (per-frame keys
+        are fold_in(utterance key, frame index) — schedule-invariant)."""
         if stream:
             chunks = list(
                 self.generate_stream(
                     text, speaker, context, max_audio_length_ms, temperature, topk,
-                    cached_context=cached_context,
+                    cached_context=cached_context, seed=seed,
                 )
             )
             if not chunks:
@@ -679,13 +702,15 @@ class Generator:
 
         K = self._cfg.audio_num_codebooks
         max_gen = int(max_audio_length_ms / FRAME_MS)
+        key_prefill, utt_key = self._utterance_keys(seed)
         frame, state, done, max_gen = self._prefill_utterance(
-            text, speaker, context, cached_context, max_gen, temperature, topk
+            text, speaker, context, cached_context, max_gen, temperature, topk,
+            key=key_prefill,
         )
         if bool(done[0]):
             return np.zeros((0,), np.float32)
         device_chunks = self._decode_loop(frame, state, done, max_gen,
-                                          temperature, topk)
+                                          temperature, topk, utt_key)
 
         # Codes never leave the device.  Invalid/overshoot frames are
         # zeros forming a strict suffix, so a bucket-padded decode is
@@ -755,7 +780,8 @@ class Generator:
         )
         return wav_np[: n_frames * self._hop]
 
-    def _decode_loop(self, frame, state, done, max_gen, temperature, topk):
+    def _decode_loop(self, frame, state, done, max_gen, temperature, topk,
+                     utt_key=None):
         """Run the chunked decode scans; return (packed, n) device handles.
 
         Device→host fetches cost a full round trip on remote-attached TPUs,
@@ -768,7 +794,8 @@ class Generator:
         prev_packed = None
         base = self._offline_chunk_frames
         schedule = iter(self._chunk_schedule(base))
-        utt_key = self._next_key()
+        if utt_key is None:
+            utt_key = self._next_key()
         while generated < max_gen:
             # dispatch only schedule sizes (arbitrary tail sizes would each
             # compile a fresh program on the minutes-slow remote compile
@@ -826,20 +853,23 @@ class Generator:
     def generate_frames(
         self, text, speaker, context, max_audio_length_ms=90_000,
         temperature: float = 0.7, topk: int = 30, cached_context=None,
+        seed: Optional[int] = None,
     ) -> np.ndarray:
         """→ (F, K) int32 valid frames (no EOS frame)."""
         K = self._cfg.audio_num_codebooks
         max_gen = int(max_audio_length_ms / FRAME_MS)
+        key_prefill, utt_key = self._utterance_keys(seed)
 
         frame, state, done, max_gen = self._prefill_utterance(
-            text, speaker, context, cached_context, max_gen, temperature, topk
+            text, speaker, context, cached_context, max_gen, temperature, topk,
+            key=key_prefill,
         )
         if bool(done[0]):
             return np.zeros((0, K), np.int32)
         out = [np.asarray(frame)]
 
         device_chunks = self._decode_loop(frame, state, done, max_gen,
-                                          temperature, topk)
+                                          temperature, topk, utt_key)
         if device_chunks:
             arr_all = self._fetch_chunks(device_chunks)
             out.extend(self._unpack_chunks(arr_all, device_chunks, max_gen))

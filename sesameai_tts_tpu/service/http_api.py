@@ -10,6 +10,12 @@ Stdlib-only (no framework deps in this environment):
                         → audio/wav (16-bit PCM, 24 kHz)
     POST /tts/stream    same body → chunked audio/pcm;rate=24000;encoding=
                         float32 — chunks flush as the engine emits them
+    POST /v1/audio/speech
+                        OpenAI Audio-API-compatible: {"input": ..., "voice":
+                        ..., "response_format": "wav"|"pcm", "speed": 1.0}
+                        (plus the /tts extension knobs) → audio bytes.
+                        Clients written against the de-facto TTS serving
+                        protocol work against this engine unchanged.
     GET  /healthz       → {"status": "ok", "slots": B}
     GET  /metrics       → engine metrics JSON (TTFA/session percentiles,
                           frame + session counters, slot occupancy)
@@ -55,6 +61,7 @@ class TTSRequestHandler(BaseHTTPRequestHandler):
     watermarker = None  # (watermarker, key) for flagship provenance
     sample_rate: int = 24_000
     max_text_len: int = 4096
+    model_name: str = "csm-1b"  # advertised on /v1/models
 
     def log_message(self, fmt, *args):  # route through logging, not stderr
         logger.info("%s %s", self.address_string(), fmt % args)
@@ -111,6 +118,13 @@ class TTSRequestHandler(BaseHTTPRequestHandler):
                 {"status": "ok", "slots": self.engine.B,
                  "voices": sorted(self.voices)}
             ).encode()
+        elif self.path == "/v1/models":
+            # OpenAI client compatibility: SDKs list models before use
+            payload = json.dumps({
+                "object": "list",
+                "data": [{"id": self.model_name, "object": "model",
+                          "owned_by": "sesameai-tts-tpu"}],
+            }).encode()
         elif self.path == "/metrics":
             # structured engine metrics (TTFA/session percentiles, frame
             # and session counters, occupancy) — SURVEY.md §5 upgrade
@@ -126,6 +140,9 @@ class TTSRequestHandler(BaseHTTPRequestHandler):
         self.wfile.write(payload)
 
     def do_POST(self):
+        if self.path == "/v1/audio/speech":
+            self._openai_speech()
+            return
         if self.path not in ("/tts", "/tts/stream"):
             self._error(404, "unknown path")
             return
@@ -236,6 +253,83 @@ class TTSRequestHandler(BaseHTTPRequestHandler):
             session.cancel()
             self.close_connection = True
 
+    def _openai_speech(self):
+        """OpenAI-compatible ``POST /v1/audio/speech``.
+
+        Field mapping: ``input`` → text, ``voice`` → registry voice,
+        ``model`` accepted and ignored (one model per server),
+        ``response_format`` ∈ {"wav", "pcm"} (pcm = raw 16-bit
+        little-endian mono at the engine sample rate — OpenAI's pcm
+        semantics), ``speed`` ∈ [1.0, 4.0] via the pitch-preserving
+        chunked speedup the web apps use (audio/segment.py::speedup;
+        slow-down is not implemented, matching the reference apps'
+        speed-up-only slider, reference tts_base.py:107-108).  The /tts
+        extension knobs (max_audio_length_ms, temperature, topk,
+        speaker) pass through.  The watermark embeds AFTER the speed
+        change so the delivered audio carries a verifiable mark."""
+        body = self._read_body()
+        if body is None:
+            return
+        text = body.get("input")
+        if not isinstance(text, str) or not text.strip():
+            self._error(400, "missing 'input'")
+            return
+        fmt = body.get("response_format", "wav")
+        if fmt not in ("wav", "pcm"):
+            self._error(
+                400, f"unsupported response_format {fmt!r}; supported: wav, pcm"
+            )
+            return
+        try:
+            speed = float(body.get("speed", 1.0))
+        except (TypeError, ValueError):
+            self._error(400, "speed must be a number")
+            return
+        if not 1.0 <= speed <= 4.0:
+            self._error(
+                400, "speed must be in [1.0, 4.0] (speed-up only)"
+            )
+            return
+        session = self._submit({
+            "text": text,
+            "voice": body.get("voice"),
+            "speaker": body.get("speaker", 1),
+            "max_audio_length_ms": body.get("max_audio_length_ms", 30_000),
+            "temperature": body.get("temperature", 0.8),
+            "topk": body.get("topk", 40),
+        })
+        if session is None:
+            return
+        try:
+            audio = session.audio(timeout=600)
+        except Exception as e:
+            session.cancel()  # free the slot (same invariant as /tts)
+            self._error(500, f"generation failed: {e}")
+            return
+        if speed > 1.0 and len(audio):
+            from sesameai_tts_tpu.audio.segment import AudioClip
+
+            audio = AudioClip.from_float(audio, self.sample_rate).speedup(
+                playback_speed=speed
+            ).samples
+        audio = self._maybe_watermark(audio)
+        peak = float(np.abs(audio).max(initial=0.0))
+        if peak > 1.0:  # 16-bit clipping would destroy the watermark
+            audio = audio / peak
+        if fmt == "wav":
+            payload, ctype = _wav_bytes(audio, self.sample_rate), "audio/wav"
+        else:
+            payload = (np.clip(audio, -1.0, 1.0) * 32767.0).astype("<i2").tobytes()
+            ctype = "audio/pcm;rate=%d;encoding=s16le" % self.sample_rate
+        self.send_response(200)
+        self.send_header("Content-Type", ctype)
+        self.send_header("Content-Length", str(len(payload)))
+        self.end_headers()
+        try:
+            self.wfile.write(payload)
+        except (BrokenPipeError, ConnectionResetError):
+            pass  # generation already complete; nothing to cancel
+
     def _maybe_watermark(self, audio: np.ndarray) -> np.ndarray:
         if self.watermarker is None or not len(audio):
             return audio
@@ -252,7 +346,7 @@ class TTSRequestHandler(BaseHTTPRequestHandler):
 def serve(engine: BatchedTTSServer, host: str = "0.0.0.0", port: int = 8080,
           voices: Optional[dict] = None,
           sample_rate: int = 24_000,
-          watermarker=None) -> ThreadingHTTPServer:
+          watermarker=None, model_name: str = "csm-1b") -> ThreadingHTTPServer:
     """Start the HTTP front end (returns the server; call .shutdown()).
 
     ``watermarker``: optional (Watermarker, key) pair — REQUIRED for
@@ -261,7 +355,7 @@ def serve(engine: BatchedTTSServer, host: str = "0.0.0.0", port: int = 8080,
     handler = type(
         "BoundHandler", (TTSRequestHandler,),
         {"engine": engine, "voices": voices or {}, "sample_rate": sample_rate,
-         "watermarker": watermarker},
+         "watermarker": watermarker, "model_name": model_name},
     )
     httpd = ThreadingHTTPServer((host, port), handler)
     threading.Thread(target=httpd.serve_forever, daemon=True).start()
@@ -319,7 +413,7 @@ def main(argv=None):
     engine = BatchedTTSServer(gen, slots=args.slots)
     engine.start()
     httpd = serve(engine, args.host, args.port, voices, gen.sample_rate,
-                  watermarker=wm)
+                  watermarker=wm, model_name=args.flavor)
     try:
         threading.Event().wait()
     except KeyboardInterrupt:

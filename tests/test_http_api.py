@@ -175,3 +175,56 @@ def test_tts_stream_watermarked_flows_through_streaming_embedder(api):
     finally:
         httpd.shutdown()
         engine.stop()
+
+
+def test_openai_speech_wav_and_pcm(api):
+    """OpenAI-compatible /v1/audio/speech: `input`/`voice` mapping, wav
+    and pcm response formats, `speed` time-scale compression."""
+    base, gen = api
+    body = {"model": "csm-1b", "input": "openai compatible surface",
+            "voice": "demo", "max_audio_length_ms": 800,
+            "temperature": 0.9, "topk": 5}
+    with _post(base, "/v1/audio/speech", body) as r:
+        assert r.headers["Content-Type"] == "audio/wav"
+        wav = r.read()
+    assert wav[:4] == b"RIFF" and wav[8:12] == b"WAVE"
+    n_wav = len(np.frombuffer(wav[44:], "<i2"))
+    assert n_wav > 0 and n_wav % gen._hop == 0
+
+    with _post(base, "/v1/audio/speech",
+               {**body, "response_format": "pcm"}) as r:
+        assert r.headers["Content-Type"].startswith("audio/pcm")
+        assert "s16le" in r.headers["Content-Type"]
+        pcm = np.frombuffer(r.read(), "<i2")
+    assert len(pcm) > 0 and len(pcm) % gen._hop == 0
+
+    # speed > 1 shortens the audio (greedy: same frames both calls)
+    fast_body = {"input": "speed comparison utterance", "voice": "demo",
+                 "max_audio_length_ms": 1600, "temperature": 1.0, "topk": 1}
+    with _post(base, "/v1/audio/speech", fast_body) as r:
+        normal = np.frombuffer(r.read()[44:], "<i2")
+    with _post(base, "/v1/audio/speech", {**fast_body, "speed": 2.0}) as r:
+        fast = np.frombuffer(r.read()[44:], "<i2")
+    assert 0 < len(fast) <= len(normal)
+
+
+def test_openai_speech_errors(api):
+    base, _ = api
+    for body, code in (
+        ({"voice": "demo"}, 400),                      # missing input
+        ({"input": "x", "response_format": "mp3"}, 400),
+        ({"input": "x", "speed": 0.5}, 400),           # slow-down unsupported
+        ({"input": "x", "speed": "quick"}, 400),
+        ({"input": "x", "voice": "nope"}, 404),
+    ):
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(base, "/v1/audio/speech", body)
+        assert ei.value.code == code, body
+
+
+def test_openai_models_listing(api):
+    base, _ = api
+    with urllib.request.urlopen(base + "/v1/models", timeout=60) as r:
+        listing = json.loads(r.read())
+    assert listing["object"] == "list"
+    assert listing["data"][0]["id"] == "csm-1b"
