@@ -1,0 +1,215 @@
+"""Finetuning driver: dataset directory → trained CSM checkpoint.
+
+Greenfield (the reference is inference-only; SURVEY.md §5). One CLI
+closes the loop the inference stack already supports: record voice
+clips, finetune the dual transformer on them, convert/serve the result.
+
+    sesame-tts-finetune --data clips/ --flavor test-tiny --steps 50 \
+        --ckpt-dir /ckpt/run1 --save-every 25
+
+* dataset: ``metadata.json`` or ``.txt`` sidecars next to 24 kHz WAVs
+  (``training/data.py::load_directory``);
+* training dtype is f32 by default (``--dtype bf16`` opts into bf16
+  params); the quantized serving forms are produced AFTER training by
+  ``sesame-tts-convert`` / the loader's quantize step;
+* ``--mesh dp,tp`` shards params/optimizer over the device mesh
+  (megatron TP + data parallelism, ``parallel/mesh.py``); batches are
+  dp-sharded; XLA inserts all collectives;
+* checkpoints are full TrainStates (``training/checkpoint.py``):
+  ``--resume`` continues bit-for-bit, optimizer momentum included. The
+  final params also land in ``<ckpt-dir>/params`` — loadable directly
+  via ``ModelSpec.csm_checkpoint``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sesameai_tts_tpu.training import checkpoint as ckpt_lib
+from sesameai_tts_tpu.training.data import (
+    BatchLoader,
+    LoaderConfig,
+    load_directory,
+    prefetch,
+)
+from sesameai_tts_tpu.training.loss import Batch
+from sesameai_tts_tpu.training.train_step import (
+    init_train_state,
+    make_optimizer,
+    make_sharded_train_state,
+    make_train_step,
+    shard_batch,
+)
+
+
+def build_frame_tokenizer(spec):
+    """FrameTokenizer (text BPE + bucketed jitted Mimi encode) WITHOUT a
+    Generator — training needs tokenization, not the decode programs."""
+    import math
+
+    from sesameai_tts_tpu.codec.mimi import Mimi
+    from sesameai_tts_tpu.runtime.frames import FrameTokenizer
+    from sesameai_tts_tpu.tokenizer import load_text_tokenizer
+
+    mimi = Mimi(spec.mimi)
+    key = jax.random.PRNGKey(spec.seed)
+    if spec.mimi_checkpoint:
+        from sesameai_tts_tpu.core.weights import load_pytree
+
+        mimi_params = load_pytree(
+            spec.mimi_checkpoint, like=mimi.init(key, spec.mimi_dtype)
+        )
+    else:
+        mimi_params = mimi.init(key, spec.mimi_dtype)
+    hop = mimi.cfg.hop_length
+    encode = jax.jit(lambda p, wav: mimi.encode(p, wav)[0])
+
+    def encode_audio(audio: np.ndarray) -> np.ndarray:
+        # same frame-bucket padding as Generator._encode_audio: the
+        # causal encoder makes right-padding exact, buckets keep the
+        # number of compiled encode programs logarithmic
+        T = len(audio)
+        frames = max(1, math.ceil(T / hop))
+        bucket = 1 << (frames - 1).bit_length()
+        wav = np.zeros((1, 1, bucket * hop), np.float32)
+        wav[0, 0, :T] = audio
+        return np.asarray(encode(mimi_params, jnp.asarray(wav))[:, :frames])
+
+    text_tok = load_text_tokenizer(spec.tokenizer)
+    return FrameTokenizer(text_tok, encode_audio, spec.csm.audio_num_codebooks)
+
+
+def _init_params(spec, dtype):
+    from sesameai_tts_tpu.core.weights import load_csm_checkpoint
+    from sesameai_tts_tpu.models.csm import init_csm_params
+
+    if spec.csm_checkpoint:
+        return load_csm_checkpoint(spec.csm_checkpoint, spec.csm, dtype)
+    return init_csm_params(jax.random.PRNGKey(spec.seed), spec.csm, dtype)
+
+
+def finetune(args) -> dict:
+    """Run the loop; returns the last metrics dict (CLI + tests entry)."""
+    from sesameai_tts_tpu.runtime.loader import csm_1b_spec, test_tiny_spec
+
+    if args.flavor == "test-tiny":
+        spec = test_tiny_spec()
+    else:
+        spec = csm_1b_spec(
+            csm_checkpoint=args.csm_checkpoint,
+            mimi_checkpoint=args.mimi_checkpoint,
+            tokenizer=args.tokenizer,
+            quantize=None,  # training runs dense; quantize at serve time
+        )
+
+    dtype = {"f32": jnp.float32, "bf16": jnp.bfloat16}[args.dtype]
+    ftok = build_frame_tokenizer(spec)
+    segments = load_directory(args.data, sample_rate=spec.mimi.sample_rate)
+    buckets = tuple(int(b) for b in args.buckets.split(","))
+    loader = BatchLoader(
+        segments, ftok,
+        LoaderConfig(batch_size=args.batch_size, buckets=buckets, seed=args.seed),
+    )
+    if loader.dropped:
+        print(f"dropped {loader.dropped} over-length examples", file=sys.stderr)
+
+    tx = make_optimizer(args.lr, args.weight_decay, args.warmup)
+    mesh = None
+    if args.mesh:
+        from sesameai_tts_tpu.parallel.mesh import make_mesh
+
+        dp, tp = (int(x) for x in args.mesh.split(","))
+        mesh = make_mesh(dp=dp, tp=tp)
+        state = make_sharded_train_state(
+            jax.random.PRNGKey(spec.seed), spec.csm, mesh, tx, dtype
+        )
+        if spec.csm_checkpoint:
+            raise SystemExit(
+                "--mesh with --csm-checkpoint: convert the checkpoint to "
+                "orbax and restore into the sharded state via --resume"
+            )
+    else:
+        state = init_train_state(_init_params(spec, dtype), tx)
+
+    if args.resume:
+        path = ckpt_lib.latest_checkpoint(args.ckpt_dir)
+        if path:
+            state = ckpt_lib.restore_checkpoint(path, state)
+            print(f"resumed from {path} (step {int(state.step)})", file=sys.stderr)
+
+    step_fn = make_train_step(
+        spec.csm, tx, decoder_frames=args.decoder_frames,
+        remat=args.remat, accum_steps=args.accum_steps,
+    )
+
+    def epochs():
+        while True:
+            yield from loader
+
+    metrics = {}
+    t0 = time.time()
+    start = int(state.step)
+    for batch in prefetch(epochs(), depth=2):
+        if int(state.step) >= args.steps:
+            break
+        batch = shard_batch(batch, mesh) if mesh is not None else Batch(
+            *(jnp.asarray(x) for x in batch)
+        )
+        state, metrics = step_fn(state, batch)
+        step = int(state.step)  # host sync once per step: also fetches loss
+        if step % args.log_every == 0 or step == args.steps:
+            rate = (step - start) / max(time.time() - t0, 1e-9)
+            print(
+                f"step {step}/{args.steps} loss {float(metrics['loss']):.4f} "
+                f"(c0 {float(metrics['c0_loss']):.4f} dec "
+                f"{float(metrics['decoder_loss']):.4f}) {rate:.2f} steps/s",
+                file=sys.stderr,
+            )
+        if args.ckpt_dir and step % args.save_every == 0:
+            ckpt_lib.save_checkpoint(args.ckpt_dir, state)
+    if args.ckpt_dir:
+        ckpt_lib.save_checkpoint(args.ckpt_dir, state)
+        # params-only export, loadable as ModelSpec.csm_checkpoint
+        from sesameai_tts_tpu.core.weights import save_pytree
+        import os
+
+        save_pytree(os.path.join(args.ckpt_dir, "params"), state.params)
+    return {k: float(v) for k, v in metrics.items()}
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    p.add_argument("--data", required=True, help="dataset dir (wav + txt/metadata.json)")
+    p.add_argument("--flavor", default="csm-1b", choices=["csm-1b", "test-tiny"])
+    p.add_argument("--csm-checkpoint", default=None)
+    p.add_argument("--mimi-checkpoint", default=None)
+    p.add_argument("--tokenizer", default="byte")
+    p.add_argument("--steps", type=int, default=100)
+    p.add_argument("--batch-size", type=int, default=4)
+    p.add_argument("--accum-steps", type=int, default=1)
+    p.add_argument("--buckets", default="64,128,256,512,1024,2048")
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--warmup", type=int, default=100)
+    p.add_argument("--weight-decay", type=float, default=0.01)
+    p.add_argument("--decoder-frames", type=int, default=4)
+    p.add_argument("--remat", action="store_true")
+    p.add_argument("--dtype", default="f32", choices=["f32", "bf16"])
+    p.add_argument("--mesh", default=None, help="dp,tp (e.g. 4,2)")
+    p.add_argument("--ckpt-dir", default=None)
+    p.add_argument("--save-every", type=int, default=500)
+    p.add_argument("--resume", action="store_true")
+    p.add_argument("--log-every", type=int, default=10)
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args(argv)
+    metrics = finetune(args)
+    print(f"final: {metrics}")
+
+
+if __name__ == "__main__":
+    main()

@@ -49,19 +49,61 @@ def init_train_state(params: dict, tx: optax.GradientTransformation) -> TrainSta
 
 
 def make_train_step(cfg: CSMConfig, tx: optax.GradientTransformation, decoder_frames: int = 4,
-                    remat: bool = False):
+                    remat: bool = False, accum_steps: int = 1):
     """→ jitted (state, batch) → (state, metrics). Donates state.
 
     ``remat=True`` rematerializes backbone layer activations in the
     backward pass (jax.checkpoint over the layer scan) — the standard
-    memory/FLOPs trade for long sequences or big per-chip batches."""
+    memory/FLOPs trade for long sequences or big per-chip batches.
 
-    @functools.partial(jax.jit, donate_argnums=(0,))
-    def train_step(state: TrainState, batch: Batch) -> Tuple[TrainState, dict]:
+    ``accum_steps > 1`` splits the batch's leading axis into that many
+    microbatches and scans the forward/backward over them, so peak
+    activation memory is one microbatch's while the optimizer sees the
+    full batch.  Gradients/metrics are the microbatch MEAN — identical
+    to the unaccumulated step when microbatches carry equal loss-mask
+    counts, the usual masked-mean approximation otherwise."""
+
+    def _grads(params, batch):
         def loss_fn(p):
             return csm_loss(p, cfg, batch, decoder_frames, remat=remat)
 
-        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        return jax.value_and_grad(loss_fn, has_aux=True)(params)
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def train_step(state: TrainState, batch: Batch) -> Tuple[TrainState, dict]:
+        if accum_steps == 1:
+            (_, metrics), grads = _grads(state.params, batch)
+        else:
+            B = batch.tokens.shape[0]
+            assert B % accum_steps == 0, (
+                f"batch {B} not divisible by accum_steps {accum_steps}"
+            )
+            micro = jax.tree.map(
+                lambda x: x.reshape(accum_steps, B // accum_steps, *x.shape[1:]),
+                batch,
+            )
+
+            def body(carry, mb):
+                (_, metrics), grads = _grads(state.params, Batch(*mb))
+                # accumulate in f32 regardless of param dtype: bf16 sums
+                # across microbatches lose the low-magnitude tail
+                return (
+                    jax.tree.map(
+                        lambda a, g: a + g.astype(jnp.float32), carry[0], grads
+                    ),
+                    jax.tree.map(jnp.add, carry[1], metrics),
+                ), ()
+
+            zeros_g = jax.tree.map(
+                lambda p: jnp.zeros(p.shape, jnp.float32), state.params
+            )
+            zeros_m = {k: jnp.float32(0.0) for k in ("loss", "c0_loss", "decoder_loss")}
+            (gsum, msum), _ = jax.lax.scan(body, (zeros_g, zeros_m), micro)
+            grads = jax.tree.map(
+                lambda g, p: (g / accum_steps).astype(p.dtype), gsum, state.params
+            )
+            metrics = {k: v / accum_steps for k, v in msum.items()}
+
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         metrics["grad_norm"] = optax.global_norm(grads)
