@@ -18,7 +18,11 @@ clips, finetune the dual transformer on them, convert/serve the result.
 * checkpoints are full TrainStates (``training/checkpoint.py``):
   ``--resume`` continues bit-for-bit, optimizer momentum included. The
   final params also land in ``<ckpt-dir>/params`` — loadable directly
-  via ``ModelSpec.csm_checkpoint``.
+  via ``ModelSpec.csm_checkpoint``;
+* ``--lora-rank N`` trains rank-N adapters over the trunk linears
+  instead of the full model (training/lora.py — frozen base, ~1%
+  optimizer state); the export is the MERGED dense weights, so serving
+  is identical either way.
 """
 
 from __future__ import annotations
@@ -41,6 +45,7 @@ from sesameai_tts_tpu.training.data import (
 from sesameai_tts_tpu.training.loss import Batch
 from sesameai_tts_tpu.training.train_step import (
     init_train_state,
+    make_lora_train_step,
     make_optimizer,
     make_sharded_train_state,
     make_train_step,
@@ -121,21 +126,43 @@ def finetune(args) -> dict:
 
     tx = make_optimizer(args.lr, args.weight_decay, args.warmup)
     mesh = None
+    base_params = None  # frozen base in LoRA mode
     if args.mesh:
         from sesameai_tts_tpu.parallel.mesh import make_mesh
 
         dp, tp = (int(x) for x in args.mesh.split(","))
         mesh = make_mesh(dp=dp, tp=tp)
-        state = make_sharded_train_state(
-            jax.random.PRNGKey(spec.seed), spec.csm, mesh, tx, dtype
-        )
-        if spec.csm_checkpoint:
-            raise SystemExit(
-                "--mesh with --csm-checkpoint: convert the checkpoint to "
-                "orbax and restore into the sharded state via --resume"
+        if args.lora_rank:
+            from sesameai_tts_tpu.parallel.mesh import csm_param_specs, shard_params
+
+            base_params = shard_params(
+                _init_params(spec, dtype), mesh, csm_param_specs()
             )
+        else:
+            state = make_sharded_train_state(
+                jax.random.PRNGKey(spec.seed), spec.csm, mesh, tx, dtype
+            )
+            if spec.csm_checkpoint:
+                raise SystemExit(
+                    "--mesh with --csm-checkpoint: convert the checkpoint to "
+                    "orbax and restore into the sharded state via --resume "
+                    "(or use --lora-rank, which loads the base directly)"
+                )
+    elif args.lora_rank:
+        base_params = _init_params(spec, dtype)
     else:
         state = init_train_state(_init_params(spec, dtype), tx)
+
+    if args.lora_rank:
+        from sesameai_tts_tpu.training.lora import init_lora_params
+
+        # adapters replicate over the mesh (tiny); base shardings flow
+        # through the in-step merge
+        lora = init_lora_params(
+            jax.random.PRNGKey(args.seed + 1), base_params, args.lora_rank,
+            tuple(args.lora_targets.split(",")), dtype,
+        )
+        state = init_train_state(lora, tx)
 
     if args.resume:
         path = ckpt_lib.latest_checkpoint(args.ckpt_dir)
@@ -143,10 +170,18 @@ def finetune(args) -> dict:
             state = ckpt_lib.restore_checkpoint(path, state)
             print(f"resumed from {path} (step {int(state.step)})", file=sys.stderr)
 
-    step_fn = make_train_step(
-        spec.csm, tx, decoder_frames=args.decoder_frames,
-        remat=args.remat, accum_steps=args.accum_steps,
-    )
+    if args.lora_rank:
+        lora_step = make_lora_train_step(
+            spec.csm, tx, alpha=args.lora_alpha,
+            decoder_frames=args.decoder_frames,
+            remat=args.remat, accum_steps=args.accum_steps,
+        )
+        step_fn = lambda s, b: lora_step(s, base_params, b)  # noqa: E731
+    else:
+        step_fn = make_train_step(
+            spec.csm, tx, decoder_frames=args.decoder_frames,
+            remat=args.remat, accum_steps=args.accum_steps,
+        )
 
     def epochs():
         while True:
@@ -175,11 +210,20 @@ def finetune(args) -> dict:
             ckpt_lib.save_checkpoint(args.ckpt_dir, state)
     if args.ckpt_dir:
         ckpt_lib.save_checkpoint(args.ckpt_dir, state)
-        # params-only export, loadable as ModelSpec.csm_checkpoint
+        # params-only export, loadable as ModelSpec.csm_checkpoint; in
+        # LoRA mode the adapters are merged into the dense weights so
+        # the export serves exactly like a full finetune's
         from sesameai_tts_tpu.core.weights import save_pytree
         import os
 
-        save_pytree(os.path.join(args.ckpt_dir, "params"), state.params)
+        export = state.params
+        if args.lora_rank:
+            from sesameai_tts_tpu.training.lora import merge_lora
+
+            export = jax.jit(
+                lambda b, l: merge_lora(b, l, args.lora_alpha)
+            )(base_params, state.params)
+        save_pytree(os.path.join(args.ckpt_dir, "params"), export)
     return {k: float(v) for k, v in metrics.items()}
 
 
@@ -198,6 +242,11 @@ def main(argv=None):
     p.add_argument("--warmup", type=int, default=100)
     p.add_argument("--weight-decay", type=float, default=0.01)
     p.add_argument("--decoder-frames", type=int, default=4)
+    p.add_argument("--lora-rank", type=int, default=0,
+                   help="0 = full finetune; >0 trains rank-r LoRA adapters "
+                        "over --lora-targets and exports merged params")
+    p.add_argument("--lora-alpha", type=float, default=16.0)
+    p.add_argument("--lora-targets", default="qkv,o_proj,w13,w2")
     p.add_argument("--remat", action="store_true")
     p.add_argument("--dtype", default="f32", choices=["f32", "bf16"])
     p.add_argument("--mesh", default=None, help="dp,tp (e.g. 4,2)")

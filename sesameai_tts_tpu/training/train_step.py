@@ -71,39 +71,73 @@ def make_train_step(cfg: CSMConfig, tx: optax.GradientTransformation, decoder_fr
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch: Batch) -> Tuple[TrainState, dict]:
-        if accum_steps == 1:
-            (_, metrics), grads = _grads(state.params, batch)
-        else:
-            B = batch.tokens.shape[0]
-            assert B % accum_steps == 0, (
-                f"batch {B} not divisible by accum_steps {accum_steps}"
-            )
-            micro = jax.tree.map(
-                lambda x: x.reshape(accum_steps, B // accum_steps, *x.shape[1:]),
-                batch,
-            )
+        metrics, grads = _accum_grads(_grads, state.params, batch, accum_steps)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return TrainState(params, opt_state, state.step + 1), metrics
 
-            def body(carry, mb):
-                (_, metrics), grads = _grads(state.params, Batch(*mb))
-                # accumulate in f32 regardless of param dtype: bf16 sums
-                # across microbatches lose the low-magnitude tail
-                return (
-                    jax.tree.map(
-                        lambda a, g: a + g.astype(jnp.float32), carry[0], grads
-                    ),
-                    jax.tree.map(jnp.add, carry[1], metrics),
-                ), ()
+    return train_step
 
-            zeros_g = jax.tree.map(
-                lambda p: jnp.zeros(p.shape, jnp.float32), state.params
-            )
-            zeros_m = {k: jnp.float32(0.0) for k in ("loss", "c0_loss", "decoder_loss")}
-            (gsum, msum), _ = jax.lax.scan(body, (zeros_g, zeros_m), micro)
-            grads = jax.tree.map(
-                lambda g, p: (g / accum_steps).astype(p.dtype), gsum, state.params
-            )
-            metrics = {k: v / accum_steps for k, v in msum.items()}
 
+def _accum_grads(grads_fn, params, batch: Batch, accum_steps: int):
+    """Shared microbatch-accumulation core: ``grads_fn(params, batch) →
+    ((loss, metrics), grads)`` evaluated once (``accum_steps == 1``) or
+    scanned over leading-axis microbatches with f32 gradient sums (bf16
+    sums across microbatches lose the low-magnitude tail)."""
+    if accum_steps == 1:
+        (_, metrics), grads = grads_fn(params, batch)
+        return metrics, grads
+
+    B = batch.tokens.shape[0]
+    assert B % accum_steps == 0, (
+        f"batch {B} not divisible by accum_steps {accum_steps}"
+    )
+    micro = jax.tree.map(
+        lambda x: x.reshape(accum_steps, B // accum_steps, *x.shape[1:]),
+        batch,
+    )
+
+    def body(carry, mb):
+        (_, metrics), grads = grads_fn(params, Batch(*mb))
+        return (
+            jax.tree.map(lambda a, g: a + g.astype(jnp.float32), carry[0], grads),
+            jax.tree.map(jnp.add, carry[1], metrics),
+        ), ()
+
+    zeros_g = jax.tree.map(lambda p: jnp.zeros(p.shape, jnp.float32), params)
+    zeros_m = {k: jnp.float32(0.0) for k in ("loss", "c0_loss", "decoder_loss")}
+    (gsum, msum), _ = jax.lax.scan(body, (zeros_g, zeros_m), micro)
+    grads = jax.tree.map(
+        lambda g, p: (g / accum_steps).astype(p.dtype), gsum, params
+    )
+    return {k: v / accum_steps for k, v in msum.items()}, grads
+
+
+def make_lora_train_step(cfg: CSMConfig, tx: optax.GradientTransformation,
+                         alpha: float = 16.0, decoder_frames: int = 4,
+                         remat: bool = False, accum_steps: int = 1):
+    """→ jitted (state, base_params, batch) → (state, metrics).
+
+    ``state.params`` is the LoRA adapter tree (training/lora.py); the
+    frozen ``base_params`` are merged with the adapters INSIDE the step
+    (one small matmul + add per target leaf, fused by XLA), so gradients
+    flow only into the adapters and the optimizer state is ~1% of a full
+    finetune's.  Donates the (tiny) state; never the base."""
+    from sesameai_tts_tpu.training.lora import merge_lora
+
+    @functools.partial(jax.jit, donate_argnums=(0,))
+    def train_step(
+        state: TrainState, base_params: dict, batch: Batch
+    ) -> Tuple[TrainState, dict]:
+        def _grads(lora, b):
+            def loss_fn(l):
+                merged = merge_lora(base_params, l, alpha)
+                return csm_loss(merged, cfg, b, decoder_frames, remat=remat)
+
+            return jax.value_and_grad(loss_fn, has_aux=True)(lora)
+
+        metrics, grads = _accum_grads(_grads, state.params, batch, accum_steps)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         params = optax.apply_updates(state.params, updates)
         metrics["grad_norm"] = optax.global_norm(grads)
