@@ -45,6 +45,8 @@ from sesameai_tts_tpu.training.data import (
 from sesameai_tts_tpu.training.loss import Batch
 from sesameai_tts_tpu.training.train_step import (
     init_train_state,
+    make_eval_step,
+    make_lora_eval_step,
     make_lora_train_step,
     make_optimizer,
     make_sharded_train_state,
@@ -117,12 +119,24 @@ def finetune(args) -> dict:
     ftok = build_frame_tokenizer(spec)
     segments = load_directory(args.data, sample_rate=spec.mimi.sample_rate)
     buckets = tuple(int(b) for b in args.buckets.split(","))
+    eval_segments: list = []
+    if args.eval_frac > 0 and len(segments) > 1:
+        # seeded split so --resume sees the same held-out set
+        order = np.random.default_rng(args.seed).permutation(len(segments))
+        n_eval = min(max(1, round(len(segments) * args.eval_frac)),
+                     len(segments) - 1)
+        eval_segments = [segments[i] for i in order[:n_eval]]
+        segments = [segments[i] for i in order[n_eval:]]
     loader = BatchLoader(
         segments, ftok,
         LoaderConfig(batch_size=args.batch_size, buckets=buckets, seed=args.seed),
     )
     if loader.dropped:
         print(f"dropped {loader.dropped} over-length examples", file=sys.stderr)
+    eval_loader = BatchLoader(
+        eval_segments, ftok,
+        LoaderConfig(batch_size=args.batch_size, buckets=buckets, seed=args.seed),
+    ) if eval_segments else None
 
     tx = make_optimizer(args.lr, args.weight_decay, args.warmup)
     mesh = None
@@ -187,16 +201,42 @@ def finetune(args) -> dict:
         while True:
             yield from loader
 
+    def _to_device(b: Batch) -> Batch:
+        return shard_batch(b, mesh) if mesh is not None else Batch(
+            *(jnp.asarray(x) for x in b)
+        )
+
+    eval_fn = None
+    if eval_loader is not None:
+        if args.lora_rank:
+            lora_eval = make_lora_eval_step(
+                spec.csm, alpha=args.lora_alpha,
+                decoder_frames=args.decoder_frames,
+            )
+            eval_fn = lambda s, b: lora_eval(s.params, base_params, b)  # noqa: E731
+        else:
+            dense_eval = make_eval_step(spec.csm, args.decoder_frames)
+            eval_fn = lambda s, b: dense_eval(s.params, b)  # noqa: E731
+
+    def evaluate(state) -> float:
+        """Held-out loss, weighted per batch by its loss rows (a
+        repetition-padded tail batch counts its repeats — bias shrinks
+        as the held-out set grows past one batch)."""
+        tot = w = 0.0
+        for b in eval_loader:
+            rows = float(np.asarray(b.loss_mask).sum())
+            m = eval_fn(state, _to_device(b))
+            tot += float(m["loss"]) * rows
+            w += rows
+        return tot / max(w, 1.0)
+
     metrics = {}
     t0 = time.time()
     start = int(state.step)
     for batch in prefetch(epochs(), depth=2):
         if int(state.step) >= args.steps:
             break
-        batch = shard_batch(batch, mesh) if mesh is not None else Batch(
-            *(jnp.asarray(x) for x in batch)
-        )
-        state, metrics = step_fn(state, batch)
+        state, metrics = step_fn(state, _to_device(batch))
         step = int(state.step)  # host sync once per step: also fetches loss
         if step % args.log_every == 0 or step == args.steps:
             rate = (step - start) / max(time.time() - t0, 1e-9)
@@ -206,8 +246,14 @@ def finetune(args) -> dict:
                 f"{float(metrics['decoder_loss']):.4f}) {rate:.2f} steps/s",
                 file=sys.stderr,
             )
+        if eval_fn and args.eval_every and step % args.eval_every == 0:
+            print(f"step {step} eval_loss {evaluate(state):.4f}", file=sys.stderr)
         if args.ckpt_dir and step % args.save_every == 0:
             ckpt_lib.save_checkpoint(args.ckpt_dir, state)
+    if eval_fn is not None:
+        metrics = dict(metrics)
+        metrics["eval_loss"] = evaluate(state)
+        print(f"final eval_loss {metrics['eval_loss']:.4f}", file=sys.stderr)
     if args.ckpt_dir:
         ckpt_lib.save_checkpoint(args.ckpt_dir, state)
         # params-only export, loadable as ModelSpec.csm_checkpoint; in
@@ -238,6 +284,11 @@ def main(argv=None):
     p.add_argument("--batch-size", type=int, default=4)
     p.add_argument("--accum-steps", type=int, default=1)
     p.add_argument("--buckets", default="64,128,256,512,1024,2048")
+    p.add_argument("--eval-frac", type=float, default=0.0,
+                   help=">0 holds out that fraction of clips (seeded split) "
+                        "and reports eval_loss")
+    p.add_argument("--eval-every", type=int, default=0,
+                   help="eval cadence in steps (0 = only at the end)")
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--warmup", type=int, default=100)
     p.add_argument("--weight-decay", type=float, default=0.01)
@@ -258,6 +309,7 @@ def main(argv=None):
     args = p.parse_args(argv)
     metrics = finetune(args)
     print(f"final: {metrics}")
+    return metrics
 
 
 if __name__ == "__main__":

@@ -146,6 +146,33 @@ def make_lora_train_step(cfg: CSMConfig, tx: optax.GradientTransformation,
     return train_step
 
 
+def make_eval_step(cfg: CSMConfig, decoder_frames: int = 4):
+    """→ jitted (params, batch) → metrics, no gradient/update."""
+
+    @jax.jit
+    def eval_step(params: dict, batch: Batch) -> dict:
+        _, metrics = csm_loss(params, cfg, batch, decoder_frames)
+        return metrics
+
+    return eval_step
+
+
+def make_lora_eval_step(cfg: CSMConfig, alpha: float = 16.0,
+                        decoder_frames: int = 4):
+    """→ jitted (lora, base_params, batch) → metrics; merges in-program
+    (no merged-tree materialization outside the eval program)."""
+    from sesameai_tts_tpu.training.lora import merge_lora
+
+    @jax.jit
+    def eval_step(lora: dict, base_params: dict, batch: Batch) -> dict:
+        _, metrics = csm_loss(
+            merge_lora(base_params, lora, alpha), cfg, batch, decoder_frames
+        )
+        return metrics
+
+    return eval_step
+
+
 def make_sharded_train_state(
     key: jax.Array, cfg: CSMConfig, mesh, tx: optax.GradientTransformation, dtype=jnp.float32
 ) -> TrainState:

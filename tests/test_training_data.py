@@ -254,3 +254,23 @@ def test_finetune_driver_smoke_and_resume(tmp_path):
 
     main(argv + ["--steps", "5", "--resume"])
     assert ckpt_lib.latest_checkpoint(ckpt).endswith("step_00000005")
+
+
+def test_finetune_eval_split(tmp_path):
+    """--eval-frac holds out clips and reports a finite eval_loss."""
+    from sesameai_tts_tpu.audio.io import write_wav
+    from sesameai_tts_tpu.training.finetune import main
+
+    data = tmp_path / "clips"
+    data.mkdir()
+    rng = np.random.default_rng(6)
+    for i in range(4):
+        wav = (0.1 * rng.standard_normal(960 * (i + 1))).astype(np.float32)
+        write_wav(str(data / f"c{i}.wav"), wav, 24_000)
+        (data / f"c{i}.txt").write_text(f"eval clip {i}")
+
+    metrics = main(["--data", str(data), "--flavor", "test-tiny",
+                    "--steps", "2", "--batch-size", "2", "--buckets", "64",
+                    "--eval-frac", "0.5", "--eval-every", "1",
+                    "--log-every", "1", "--warmup", "1"])
+    assert np.isfinite(metrics["eval_loss"])
