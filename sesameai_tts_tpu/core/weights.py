@@ -114,8 +114,24 @@ def _stack_trunk(
     }
 
 
+def _is_orbax_dir(path: str) -> bool:
+    """An orbax pytree dir (what ``save_pytree`` / the finetune CLI's
+    ``<ckpt-dir>/params`` export writes), vs a hub-style weights dir."""
+    return os.path.isdir(path) and any(
+        os.path.exists(os.path.join(path, marker))
+        for marker in ("_CHECKPOINT_METADATA", "_METADATA", "manifest.ocdbt", "d")
+    )
+
+
 def load_csm_checkpoint(path: str, cfg: CSMConfig, dtype=jnp.bfloat16) -> dict:
-    """sesame/csm-1b torch checkpoint → CSM params pytree."""
+    """sesame/csm-1b torch checkpoint → CSM params pytree.
+
+    Also accepts a native orbax params dir (a ``save_pytree`` export,
+    e.g. the finetune CLI's ``<ckpt-dir>/params``) — the pytree is
+    already in this framework's layout, so it restores directly."""
+    if _is_orbax_dir(path):
+        tree = load_pytree(path)
+        return jax.tree.map(lambda x: jnp.asarray(x, dtype), tree)
     sd = _read_state_dict(path)
     return {
         "backbone": _stack_trunk(sd, "backbone", cfg.backbone, dtype),

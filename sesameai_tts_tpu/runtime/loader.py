@@ -68,10 +68,16 @@ def test_tiny_spec() -> ModelSpec:
 
 
 def build_generator(spec: ModelSpec, **gen_kwargs) -> Generator:
-    if spec.csm_checkpoint and spec.tokenizer in ("byte", "tiny"):
+    if (
+        spec.csm_checkpoint
+        and spec.tokenizer in ("byte", "tiny")
+        and spec.csm.text_vocab_size > 10_000
+    ):
         # real weights expect Llama-3 128k-vocab ids (reference
         # generator.py:24-38); the 258-id byte tokenizer would silently
-        # produce garbage audio
+        # produce garbage audio. Small-vocab configs (test flavors,
+        # finetuned-from-scratch exports) legitimately pair a checkpoint
+        # with the test tokenizers they were trained on.
         raise ValueError(
             "csm_checkpoint is set but tokenizer is the test "
             f"'{spec.tokenizer}' tokenizer. Pass tokenizer=<path to the "

@@ -151,3 +151,18 @@ def test_finetune_cli_lora_exports_merged(tmp_path):
     params = load_pytree(os.path.join(ckpt, "params"), like)
     assert jax.tree.structure(params) == jax.tree.structure(like)
     assert all(np.isfinite(np.asarray(x)).all() for x in jax.tree.leaves(params))
+
+    # the export serves directly: ModelSpec.csm_checkpoint accepts the
+    # orbax params dir (weights.py::_is_orbax_dir) and the small-vocab
+    # flavor is exempt from the real-weights tokenizer guard
+    import dataclasses
+
+    from sesameai_tts_tpu.runtime.loader import build_generator, test_tiny_spec
+
+    spec = dataclasses.replace(
+        test_tiny_spec(), csm_checkpoint=os.path.join(ckpt, "params")
+    )
+    gen = build_generator(spec)
+    audio = gen.generate("served from export", speaker=0, context=[],
+                         max_audio_length_ms=400)
+    assert audio.size > 0 and np.isfinite(audio).all()
