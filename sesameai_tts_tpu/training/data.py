@@ -163,24 +163,46 @@ def prefetch(it: Iterable, depth: int = 2) -> Iterator:
     """Run ``it`` on a background thread, ``depth`` items ahead.
 
     Overlaps host-side batch assembly with device execution; exceptions
-    re-raise at the consuming site.
+    re-raise at the consuming site.  Closing the generator early (the
+    finetune loop breaks out of an infinite epoch iterator every run)
+    unblocks and retires the worker — a plain ``q.put`` would leave one
+    blocked thread behind per call in a long-lived process.
     """
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     _END, _ERR = object(), object()
+    stop = threading.Event()
+
+    def _put(item) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def worker():
         try:
             for item in it:
-                q.put(item)
-            q.put(_END)
+                if not _put(item):
+                    return
+            _put(_END)
         except BaseException as e:  # noqa: BLE001 — reraised below
-            q.put((_ERR, e))
+            _put((_ERR, e))
 
     threading.Thread(target=worker, daemon=True).start()
-    while True:
-        item = q.get()
-        if item is _END:
-            return
-        if isinstance(item, tuple) and len(item) == 2 and item[0] is _ERR:
-            raise item[1]
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is _END:
+                return
+            if isinstance(item, tuple) and len(item) == 2 and item[0] is _ERR:
+                raise item[1]
+            yield item
+    finally:
+        stop.set()
+        while True:  # release a worker mid-put
+            try:
+                q.get_nowait()
+            except queue.Empty:
+                break

@@ -133,6 +133,27 @@ def test_prefetch_order_and_errors():
         next(it)
 
 
+def test_prefetch_early_break_retires_worker():
+    """Breaking out of a prefetched infinite iterator (the finetune
+    loop's shape) must not leave a blocked worker thread behind."""
+    import threading
+    import time
+
+    def infinite():
+        i = 0
+        while True:
+            yield i
+            i += 1
+
+    before = threading.active_count()
+    for _ in range(10):
+        for x in prefetch(infinite(), depth=2):
+            if x >= 3:
+                break
+    time.sleep(0.5)  # workers observe stop within their 0.1 s put timeout
+    assert threading.active_count() <= before + 1
+
+
 def test_load_directory_both_conventions(tmp_path):
     from sesameai_tts_tpu.audio.io import write_wav
 
