@@ -115,7 +115,11 @@ def finetune(args) -> dict:
             quantize=None,  # training runs dense; quantize at serve time
         )
 
-    dtype = {"f32": jnp.float32, "bf16": jnp.bfloat16}[args.dtype]
+    # 'mixed' = f32 master params + Adam moments, bf16 forward/backward
+    # (the cast happens inside the differentiated step)
+    dtype = {"f32": jnp.float32, "bf16": jnp.bfloat16,
+             "mixed": jnp.float32}[args.dtype]
+    compute_dtype = jnp.bfloat16 if args.dtype == "mixed" else None
     ftok = build_frame_tokenizer(spec)
     segments = load_directory(args.data, sample_rate=spec.mimi.sample_rate)
     buckets = tuple(int(b) for b in args.buckets.split(","))
@@ -133,10 +137,19 @@ def finetune(args) -> dict:
     )
     if loader.dropped:
         print(f"dropped {loader.dropped} over-length examples", file=sys.stderr)
-    eval_loader = BatchLoader(
-        eval_segments, ftok,
-        LoaderConfig(batch_size=args.batch_size, buckets=buckets, seed=args.seed),
-    ) if eval_segments else None
+    eval_loader = None
+    if eval_segments:
+        try:
+            eval_loader = BatchLoader(
+                eval_segments, ftok,
+                LoaderConfig(batch_size=args.batch_size, buckets=buckets,
+                             seed=args.seed),
+            )
+        except ValueError:
+            # every held-out clip exceeded the largest bucket — train on,
+            # just without eval, rather than dying after tokenization
+            print("eval split has no usable examples (all over-length); "
+                  "eval disabled", file=sys.stderr)
 
     tx = make_optimizer(args.lr, args.weight_decay, args.warmup)
     mesh = None
@@ -189,12 +202,14 @@ def finetune(args) -> dict:
             spec.csm, tx, alpha=args.lora_alpha,
             decoder_frames=args.decoder_frames,
             remat=args.remat, accum_steps=args.accum_steps,
+            compute_dtype=compute_dtype,
         )
         step_fn = lambda s, b: lora_step(s, base_params, b)  # noqa: E731
     else:
         step_fn = make_train_step(
             spec.csm, tx, decoder_frames=args.decoder_frames,
             remat=args.remat, accum_steps=args.accum_steps,
+            compute_dtype=compute_dtype,
         )
 
     def epochs():
@@ -212,10 +227,12 @@ def finetune(args) -> dict:
             lora_eval = make_lora_eval_step(
                 spec.csm, alpha=args.lora_alpha,
                 decoder_frames=args.decoder_frames,
+                compute_dtype=compute_dtype,
             )
             eval_fn = lambda s, b: lora_eval(s.params, base_params, b)  # noqa: E731
         else:
-            dense_eval = make_eval_step(spec.csm, args.decoder_frames)
+            dense_eval = make_eval_step(spec.csm, args.decoder_frames,
+                                        compute_dtype=compute_dtype)
             eval_fn = lambda s, b: dense_eval(s.params, b)  # noqa: E731
 
     def evaluate(state) -> float:
@@ -299,7 +316,8 @@ def main(argv=None):
     p.add_argument("--lora-alpha", type=float, default=16.0)
     p.add_argument("--lora-targets", default="qkv,o_proj,w13,w2")
     p.add_argument("--remat", action="store_true")
-    p.add_argument("--dtype", default="f32", choices=["f32", "bf16"])
+    p.add_argument("--dtype", default="f32", choices=["f32", "bf16", "mixed"],
+                   help="mixed = f32 params/optimizer, bf16 compute")
     p.add_argument("--mesh", default=None, help="dp,tp (e.g. 4,2)")
     p.add_argument("--ckpt-dir", default=None)
     p.add_argument("--save-every", type=int, default=500)

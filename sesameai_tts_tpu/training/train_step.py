@@ -48,8 +48,19 @@ def init_train_state(params: dict, tx: optax.GradientTransformation) -> TrainSta
     return TrainState(params=params, opt_state=tx.init(params), step=jnp.int32(0))
 
 
+def _cast_floating(tree, dtype):
+    """Cast floating leaves to ``dtype`` (ints — tokens, steps — pass)."""
+    return jax.tree.map(
+        lambda x: x.astype(dtype)
+        if jnp.issubdtype(jnp.asarray(x).dtype, jnp.floating)
+        else x,
+        tree,
+    )
+
+
 def make_train_step(cfg: CSMConfig, tx: optax.GradientTransformation, decoder_frames: int = 4,
-                    remat: bool = False, accum_steps: int = 1):
+                    remat: bool = False, accum_steps: int = 1,
+                    compute_dtype=None):
     """→ jitted (state, batch) → (state, metrics). Donates state.
 
     ``remat=True`` rematerializes backbone layer activations in the
@@ -61,10 +72,17 @@ def make_train_step(cfg: CSMConfig, tx: optax.GradientTransformation, decoder_fr
     activation memory is one microbatch's while the optimizer sees the
     full batch.  Gradients/metrics are the microbatch MEAN — identical
     to the unaccumulated step when microbatches carry equal loss-mask
-    counts, the usual masked-mean approximation otherwise."""
+    counts, the usual masked-mean approximation otherwise.
+
+    ``compute_dtype=jnp.bfloat16`` with f32 params is the standard
+    mixed-precision recipe: the forward/backward runs in bf16 (the cast
+    is inside the differentiated function, so gradients land back in
+    f32) while master params and Adam moments stay f32."""
 
     def _grads(params, batch):
         def loss_fn(p):
+            if compute_dtype is not None:
+                p = _cast_floating(p, compute_dtype)
             return csm_loss(p, cfg, batch, decoder_frames, remat=remat)
 
         return jax.value_and_grad(loss_fn, has_aux=True)(params)
@@ -116,7 +134,8 @@ def _accum_grads(grads_fn, params, batch: Batch, accum_steps: int):
 
 def make_lora_train_step(cfg: CSMConfig, tx: optax.GradientTransformation,
                          alpha: float = 16.0, decoder_frames: int = 4,
-                         remat: bool = False, accum_steps: int = 1):
+                         remat: bool = False, accum_steps: int = 1,
+                         compute_dtype=None):
     """→ jitted (state, base_params, batch) → (state, metrics).
 
     ``state.params`` is the LoRA adapter tree (training/lora.py); the
@@ -133,6 +152,8 @@ def make_lora_train_step(cfg: CSMConfig, tx: optax.GradientTransformation,
         def _grads(lora, b):
             def loss_fn(l):
                 merged = merge_lora(base_params, l, alpha)
+                if compute_dtype is not None:
+                    merged = _cast_floating(merged, compute_dtype)
                 return csm_loss(merged, cfg, b, decoder_frames, remat=remat)
 
             return jax.value_and_grad(loss_fn, has_aux=True)(lora)
@@ -146,11 +167,13 @@ def make_lora_train_step(cfg: CSMConfig, tx: optax.GradientTransformation,
     return train_step
 
 
-def make_eval_step(cfg: CSMConfig, decoder_frames: int = 4):
+def make_eval_step(cfg: CSMConfig, decoder_frames: int = 4, compute_dtype=None):
     """→ jitted (params, batch) → metrics, no gradient/update."""
 
     @jax.jit
     def eval_step(params: dict, batch: Batch) -> dict:
+        if compute_dtype is not None:
+            params = _cast_floating(params, compute_dtype)
         _, metrics = csm_loss(params, cfg, batch, decoder_frames)
         return metrics
 
@@ -158,16 +181,17 @@ def make_eval_step(cfg: CSMConfig, decoder_frames: int = 4):
 
 
 def make_lora_eval_step(cfg: CSMConfig, alpha: float = 16.0,
-                        decoder_frames: int = 4):
+                        decoder_frames: int = 4, compute_dtype=None):
     """→ jitted (lora, base_params, batch) → metrics; merges in-program
     (no merged-tree materialization outside the eval program)."""
     from sesameai_tts_tpu.training.lora import merge_lora
 
     @jax.jit
     def eval_step(lora: dict, base_params: dict, batch: Batch) -> dict:
-        _, metrics = csm_loss(
-            merge_lora(base_params, lora, alpha), cfg, batch, decoder_frames
-        )
+        merged = merge_lora(base_params, lora, alpha)
+        if compute_dtype is not None:
+            merged = _cast_floating(merged, compute_dtype)
+        _, metrics = csm_loss(merged, cfg, batch, decoder_frames)
         return metrics
 
     return eval_step

@@ -77,6 +77,39 @@ def test_train_step_reduces_loss():
     assert all(np.isfinite(l) for l in losses)
 
 
+def test_mixed_precision_step():
+    """compute_dtype=bf16 with f32 params: the step's loss equals the
+    loss of bf16-cast params, master params/moments stay f32 and move."""
+    from sesameai_tts_tpu.training.train_step import _cast_floating
+
+    params = init_csm_params(jax.random.PRNGKey(7), CFG, jnp.float32)
+    batch = _batch(seed=9)
+    tx = make_optimizer(lr=3e-3, warmup=1)
+
+    # reference: forward on explicitly-cast bf16 params
+    ref_loss, _ = csm_loss(
+        _cast_floating(params, jnp.bfloat16), CFG, batch, decoder_frames=2
+    )
+
+    step = make_train_step(CFG, tx, decoder_frames=2,
+                           compute_dtype=jnp.bfloat16)
+    state = init_train_state(jax.tree.map(jnp.copy, params), tx)
+    state, metrics = step(state, batch)
+    np.testing.assert_allclose(float(metrics["loss"]), float(ref_loss),
+                               rtol=1e-6)
+    assert all(
+        x.dtype == jnp.float32
+        for x in jax.tree.leaves(state.params)
+    ), "master params must stay f32"
+    # lr is 0 at step 1 (warmup); check movement after step 2
+    state, _ = step(state, batch)
+    moved = any(
+        not np.array_equal(np.asarray(a), np.asarray(b))
+        for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(state.params))
+    )
+    assert moved
+
+
 def test_sharded_train_step_on_mesh():
     """(dp=4, tp=2) mesh over the 8 virtual CPU devices."""
     from sesameai_tts_tpu.parallel.mesh import make_mesh
