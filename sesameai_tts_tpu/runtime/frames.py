@@ -33,6 +33,24 @@ class Segment:
     audio: np.ndarray  # (num_samples,) float32 @ 24 kHz
 
 
+def pad_audio_to_frame_bucket(
+    audio: np.ndarray, hop: int
+) -> Tuple[np.ndarray, int]:
+    """(T,) waveform → ((1, 1, bucket·hop) zero-padded wav, frame count).
+
+    Pads to whole codec frames then to a power-of-2 frame bucket so the
+    number of compiled encode programs stays logarithmic; the causal
+    encoder makes right-padding exact. The single definition is shared
+    by the Generator and the training pipeline — train-time rows must be
+    bit-identical to inference-time prompt rows."""
+    T = len(audio)
+    frames = max(1, -(-T // hop))
+    bucket = 1 << (frames - 1).bit_length()
+    wav = np.zeros((1, 1, bucket * hop), np.float32)
+    wav[0, 0, :T] = audio
+    return wav, frames
+
+
 def tokenize_text_segment(
     tokenizer, text: str, speaker: int, num_codebooks: int
 ) -> Tuple[np.ndarray, np.ndarray]:

@@ -37,7 +37,11 @@ from sesameai_tts_tpu.core.config import CSMConfig, GenerationConfig
 from sesameai_tts_tpu.codec.mimi import Mimi
 from sesameai_tts_tpu.models import csm as csm_model
 from sesameai_tts_tpu.models.transformer import precompute_rope
-from sesameai_tts_tpu.runtime.frames import FrameTokenizer, Segment
+from sesameai_tts_tpu.runtime.frames import (
+    FrameTokenizer,
+    Segment,
+    pad_audio_to_frame_bucket,
+)
 from sesameai_tts_tpu.utils.profiling import Metrics
 
 import logging
@@ -313,12 +317,8 @@ class Generator:
         self._mimi_decode_stream = mimi_decode_stream
 
     def _encode_audio(self, audio: np.ndarray) -> np.ndarray:
-        """(T,) float32 → (K, F) codes; pads to whole frames, F-bucketed."""
-        T = len(audio)
-        frames = max(1, math.ceil(T / self._hop))
-        bucket = 1 << (frames - 1).bit_length()  # causal encoder: padding
-        wav = np.zeros((1, 1, bucket * self._hop), np.float32)  # is exact
-        wav[0, 0, :T] = audio
+        """(T,) float32 → (K, F) codes (frames.pad_audio_to_frame_bucket)."""
+        wav, frames = pad_audio_to_frame_bucket(audio, self._hop)
         wav_dev = (
             jax.device_put(wav, self._codec_device)
             if self._codec_device is not None

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 from sesameai_tts_tpu.core.weights import load_pytree, save_pytree
 from sesameai_tts_tpu.training.train_step import TrainState
 
-_STEP_DIR = re.compile(r"^step_(\d{8})$")
+_STEP_DIR = re.compile(r"^step_(\d{8,})$")  # :08d widens past 8 digits
 
 
 def save_checkpoint(ckpt_dir: str, state: TrainState) -> str:

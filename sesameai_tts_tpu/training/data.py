@@ -104,6 +104,8 @@ class LoaderConfig:
     buckets: Sequence[int] = DEFAULT_BUCKETS
     seed: int = 0
     drop_remainder: bool = False  # short final groups pad by repetition
+    shuffle: bool = True  # False → fixed order + fixed tail repetition
+    #   (eval loaders: identical params must yield identical eval_loss)
 
 
 class BatchLoader:
@@ -135,7 +137,11 @@ class BatchLoader:
 
     def __iter__(self) -> Iterator[Batch]:
         """One epoch: shuffle, group by bucket, yield (B, S, K+1) batches."""
-        order = self._rng.permutation(len(self.examples))
+        order = (
+            self._rng.permutation(len(self.examples))
+            if self.cfg.shuffle
+            else np.arange(len(self.examples))
+        )
         groups: dict = {}
         for i in order:
             b, tokens, mask = self.examples[i]

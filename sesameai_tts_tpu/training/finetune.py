@@ -58,34 +58,31 @@ from sesameai_tts_tpu.training.train_step import (
 def build_frame_tokenizer(spec):
     """FrameTokenizer (text BPE + bucketed jitted Mimi encode) WITHOUT a
     Generator — training needs tokenization, not the decode programs."""
-    import math
-
     from sesameai_tts_tpu.codec.mimi import Mimi
-    from sesameai_tts_tpu.runtime.frames import FrameTokenizer
+    from sesameai_tts_tpu.runtime.frames import (
+        FrameTokenizer,
+        pad_audio_to_frame_bucket,
+    )
     from sesameai_tts_tpu.tokenizer import load_text_tokenizer
 
     mimi = Mimi(spec.mimi)
-    key = jax.random.PRNGKey(spec.seed)
+    # same PRNG stream as runtime/loader.py::build_generator — a
+    # random-init (checkpoint-less) run must train against the SAME
+    # codec the exported model will later be served with
+    _, k_mimi = jax.random.split(jax.random.PRNGKey(spec.seed))
     if spec.mimi_checkpoint:
         from sesameai_tts_tpu.core.weights import load_pytree
 
         mimi_params = load_pytree(
-            spec.mimi_checkpoint, like=mimi.init(key, spec.mimi_dtype)
+            spec.mimi_checkpoint, like=mimi.init(k_mimi, spec.mimi_dtype)
         )
     else:
-        mimi_params = mimi.init(key, spec.mimi_dtype)
+        mimi_params = mimi.init(k_mimi, spec.mimi_dtype)
     hop = mimi.cfg.hop_length
     encode = jax.jit(lambda p, wav: mimi.encode(p, wav)[0])
 
     def encode_audio(audio: np.ndarray) -> np.ndarray:
-        # same frame-bucket padding as Generator._encode_audio: the
-        # causal encoder makes right-padding exact, buckets keep the
-        # number of compiled encode programs logarithmic
-        T = len(audio)
-        frames = max(1, math.ceil(T / hop))
-        bucket = 1 << (frames - 1).bit_length()
-        wav = np.zeros((1, 1, bucket * hop), np.float32)
-        wav[0, 0, :T] = audio
+        wav, frames = pad_audio_to_frame_bucket(audio, hop)
         return np.asarray(encode(mimi_params, jnp.asarray(wav))[:, :frames])
 
     text_tok = load_text_tokenizer(spec.tokenizer)
@@ -104,6 +101,9 @@ def _init_params(spec, dtype):
 def finetune(args) -> dict:
     """Run the loop; returns the last metrics dict (CLI + tests entry)."""
     from sesameai_tts_tpu.runtime.loader import csm_1b_spec, test_tiny_spec
+
+    if args.resume and not args.ckpt_dir:
+        raise SystemExit("--resume requires --ckpt-dir")
 
     if args.flavor == "test-tiny":
         spec = test_tiny_spec()
@@ -143,7 +143,7 @@ def finetune(args) -> dict:
             eval_loader = BatchLoader(
                 eval_segments, ftok,
                 LoaderConfig(batch_size=args.batch_size, buckets=buckets,
-                             seed=args.seed),
+                             seed=args.seed, shuffle=False),
             )
         except ValueError:
             # every held-out clip exceeded the largest bucket — train on,
@@ -151,7 +151,16 @@ def finetune(args) -> dict:
             print("eval split has no usable examples (all over-length); "
                   "eval disabled", file=sys.stderr)
 
-    tx = make_optimizer(args.lr, args.weight_decay, args.warmup)
+    warmup = args.warmup
+    if warmup >= args.steps:
+        # the default --warmup 100 equals the default --steps 100: a run
+        # that never leaves warmup trains at ~lr/2 and peaks on its last
+        # update. Clamp (explicitly flagged values included) with a note.
+        warmup = max(1, args.steps // 10)
+        print(f"warmup {args.warmup} >= steps {args.steps}; clamped to "
+              f"{warmup}", file=sys.stderr)
+    tx = make_optimizer(args.lr, args.weight_decay, warmup,
+                        total_steps=args.steps)
     mesh = None
     base_params = None  # frozen base in LoRA mode
     if args.mesh:
@@ -166,15 +175,17 @@ def finetune(args) -> dict:
                 _init_params(spec, dtype), mesh, csm_param_specs()
             )
         else:
-            state = make_sharded_train_state(
-                jax.random.PRNGKey(spec.seed), spec.csm, mesh, tx, dtype
-            )
             if spec.csm_checkpoint:
+                # reject BEFORE the (minutes-long on this platform)
+                # sharded init/compile
                 raise SystemExit(
                     "--mesh with --csm-checkpoint: convert the checkpoint to "
                     "orbax and restore into the sharded state via --resume "
                     "(or use --lora-rank, which loads the base directly)"
                 )
+            state = make_sharded_train_state(
+                jax.random.PRNGKey(spec.seed), spec.csm, mesh, tx, dtype
+            )
     elif args.lora_rank:
         base_params = _init_params(spec, dtype)
     else:
@@ -202,14 +213,14 @@ def finetune(args) -> dict:
             spec.csm, tx, alpha=args.lora_alpha,
             decoder_frames=args.decoder_frames,
             remat=args.remat, accum_steps=args.accum_steps,
-            compute_dtype=compute_dtype,
+            compute_dtype=compute_dtype, subset_seed=args.seed,
         )
         step_fn = lambda s, b: lora_step(s, base_params, b)  # noqa: E731
     else:
         step_fn = make_train_step(
             spec.csm, tx, decoder_frames=args.decoder_frames,
             remat=args.remat, accum_steps=args.accum_steps,
-            compute_dtype=compute_dtype,
+            compute_dtype=compute_dtype, subset_seed=args.seed,
         )
 
     def epochs():
@@ -236,12 +247,16 @@ def finetune(args) -> dict:
             eval_fn = lambda s, b: dense_eval(s.params, b)  # noqa: E731
 
     def evaluate(state) -> float:
-        """Held-out loss, weighted per batch by its loss rows (a
-        repetition-padded tail batch counts its repeats — bias shrinks
-        as the held-out set grows past one batch)."""
+        """Held-out loss: deterministic (unshuffled loader, fixed tail
+        repetition, first-N decoder subset) so identical params yield
+        identical eval_loss. Batches pool weighted by their AUDIO row
+        count — the per-batch loss normalizes per audio row, so text-row
+        counts must not skew the cross-batch mean. A repetition-padded
+        tail batch still counts its repeats; the bias is fixed across
+        calls and shrinks as the held-out set grows past one batch."""
         tot = w = 0.0
         for b in eval_loader:
-            rows = float(np.asarray(b.loss_mask).sum())
+            rows = float(np.asarray(b.mask[..., 0] & b.loss_mask).sum())
             m = eval_fn(state, _to_device(b))
             tot += float(m["loss"]) * rows
             w += rows

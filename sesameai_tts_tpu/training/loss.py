@@ -12,9 +12,10 @@ Next-frame prediction over interleaved text/audio rows:
   decoder runs teacher-forced over [h_t, embed(c0..c_{K-2})] and each
   position i ≥ 1 predicts codebook i via ``audio_head[i-1]``.
 
-Everything is fixed-shape: the amortized subset is the first
-``decoder_frames`` audio rows per example (selected by masked argsort),
-with zero weights when an example has fewer audio rows.
+Everything is fixed-shape: the amortized subset is ``decoder_frames``
+audio rows per example (selected by masked argsort — randomized per
+step by the train step via ``subset_r``, first-N for eval), with zero
+weights when an example has fewer audio rows.
 """
 
 from __future__ import annotations
@@ -48,8 +49,18 @@ def csm_loss(
     batch: Batch,
     decoder_frames: int = 4,
     remat: bool = False,
+    subset_r: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, dict]:
-    """→ (scalar loss, metrics dict)."""
+    """→ (scalar loss, metrics dict).
+
+    ``subset_r`` — optional (B, S-1) uniform scores ranking which audio
+    rows the amortized decoder loss trains this step (smallest scores
+    win). ``None`` selects the FIRST ``decoder_frames`` audio rows
+    deterministically — fine for eval comparability, but training long
+    clips that way would only ever teach the decoder utterance-onset
+    acoustics; the train step passes per-step randomness so every frame
+    eventually receives codebook-1..K-1 loss (the published CSM recipe
+    trains the decoder on a random 1/16 of frames)."""
     bb, dec = cfg.backbone, cfg.decoder
     K = cfg.audio_num_codebooks
     B, S, _ = batch.tokens.shape
@@ -72,10 +83,16 @@ def csm_loss(
     c0_xent = _softmax_xent(c0_logits, c0_tgt) * c0_w
     c0_loss = c0_xent.sum() / jnp.maximum(c0_w.sum(), 1.0)
 
-    # ---- decoder loss on an amortized subset of audio rows
-    # rank rows: audio rows first (by position); take first `decoder_frames`
+    # ---- decoder loss on an amortized subset of audio rows: audio rows
+    # rank first (by position, or by subset_r's random scores), then
+    # take `decoder_frames` of them — fixed shapes either way
     n = decoder_frames
-    rank_key = jnp.where(is_audio[:, 1:], jnp.arange(S - 1)[None, :], S + jnp.arange(S - 1)[None, :])
+    pos = jnp.arange(S - 1)[None, :]
+    if subset_r is None:
+        rank_key = jnp.where(is_audio[:, 1:], pos, S + pos)
+    else:
+        # scores in [0,1); non-audio rows rank strictly after (≥ 2)
+        rank_key = jnp.where(is_audio[:, 1:], subset_r, 2.0 + pos)
     sel = jnp.argsort(rank_key, axis=1)[:, :n]  # (B, n) indices into [0, S-1)
     sel_w = jnp.take_along_axis(is_audio[:, 1:], sel, axis=1).astype(jnp.float32)
 

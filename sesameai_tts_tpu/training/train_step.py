@@ -21,7 +21,6 @@ from sesameai_tts_tpu.parallel.mesh import (
     batch_sharding,
     csm_param_specs,
     shard_params,
-    sharding_tree,
 )
 from sesameai_tts_tpu.training.loss import Batch, csm_loss
 
@@ -33,10 +32,14 @@ class TrainState(NamedTuple):
 
 
 def make_optimizer(
-    lr: float = 1e-4, weight_decay: float = 0.01, warmup: int = 100
+    lr: float = 1e-4, weight_decay: float = 0.01, warmup: int = 100,
+    total_steps: int = 10_000,
 ) -> optax.GradientTransformation:
+    """``total_steps`` is the cosine horizon — pass the actual run length
+    (the finetune CLI passes ``--steps``) or long runs flatline at the
+    ``lr*0.1`` floor after the default 10k."""
     sched = optax.warmup_cosine_decay_schedule(
-        0.0, lr, warmup, 10_000, end_value=lr * 0.1
+        0.0, lr, warmup, max(total_steps, warmup + 1), end_value=lr * 0.1
     )
     return optax.chain(
         optax.clip_by_global_norm(1.0),
@@ -58,9 +61,26 @@ def _cast_floating(tree, dtype):
     )
 
 
+def _subset_scores(step: jnp.ndarray, B: int, S: int, seed: int) -> jnp.ndarray:
+    """(B, S-1) per-step uniform scores for the decoder-loss row subset.
+    Derived from the step counter so every frame is eventually trained;
+    computed on the FULL batch before any microbatch split so gradient
+    accumulation selects the same rows as the unaccumulated step."""
+    key = jax.random.fold_in(jax.random.PRNGKey(seed), step)
+    return jax.random.uniform(key, (B, S - 1))
+
+
+def _apply_update(tx, state: TrainState, grads, metrics) -> Tuple[TrainState, dict]:
+    updates, opt_state = tx.update(grads, state.opt_state, state.params)
+    params = optax.apply_updates(state.params, updates)
+    metrics["grad_norm"] = optax.global_norm(grads)
+    return TrainState(params, opt_state, state.step + 1), metrics
+
+
 def make_train_step(cfg: CSMConfig, tx: optax.GradientTransformation, decoder_frames: int = 4,
                     remat: bool = False, accum_steps: int = 1,
-                    compute_dtype=None):
+                    compute_dtype=None, subset_rng: bool = True,
+                    subset_seed: int = 0):
     """→ jitted (state, batch) → (state, metrics). Donates state.
 
     ``remat=True`` rematerializes backbone layer activations in the
@@ -77,47 +97,64 @@ def make_train_step(cfg: CSMConfig, tx: optax.GradientTransformation, decoder_fr
     ``compute_dtype=jnp.bfloat16`` with f32 params is the standard
     mixed-precision recipe: the forward/backward runs in bf16 (the cast
     is inside the differentiated function, so gradients land back in
-    f32) while master params and Adam moments stay f32."""
+    f32) while master params and Adam moments stay f32.
 
-    def _grads(params, batch):
+    ``subset_rng`` randomizes which audio rows carry the amortized
+    decoder loss each step (see ``csm_loss``); ``False`` pins the
+    first-N deterministic subset (exact-parity tests)."""
+
+    def _grads(params, batch, subset_r):
         def loss_fn(p):
             if compute_dtype is not None:
                 p = _cast_floating(p, compute_dtype)
-            return csm_loss(p, cfg, batch, decoder_frames, remat=remat)
+            return csm_loss(p, cfg, batch, decoder_frames, remat=remat,
+                            subset_r=subset_r)
 
         return jax.value_and_grad(loss_fn, has_aux=True)(params)
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch: Batch) -> Tuple[TrainState, dict]:
-        metrics, grads = _accum_grads(_grads, state.params, batch, accum_steps)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-        metrics["grad_norm"] = optax.global_norm(grads)
-        return TrainState(params, opt_state, state.step + 1), metrics
+        B, S, _ = batch.tokens.shape
+        subset_r = (
+            _subset_scores(state.step, B, S, subset_seed) if subset_rng else None
+        )
+        metrics, grads = _accum_grads(
+            _grads, state.params, batch, accum_steps, subset_r
+        )
+        return _apply_update(tx, state, grads, metrics)
 
     return train_step
 
 
-def _accum_grads(grads_fn, params, batch: Batch, accum_steps: int):
-    """Shared microbatch-accumulation core: ``grads_fn(params, batch) →
-    ((loss, metrics), grads)`` evaluated once (``accum_steps == 1``) or
-    scanned over leading-axis microbatches with f32 gradient sums (bf16
-    sums across microbatches lose the low-magnitude tail)."""
+def _accum_grads(grads_fn, params, batch: Batch, accum_steps: int,
+                 subset_r=None):
+    """Shared microbatch-accumulation core: ``grads_fn(params, batch,
+    subset_r) → ((loss, metrics), grads)`` evaluated once
+    (``accum_steps == 1``) or scanned over leading-axis microbatches with
+    f32 gradient sums (bf16 sums across microbatches lose the
+    low-magnitude tail).  ``subset_r`` splits along with the batch, so
+    each example keeps the same decoder-loss row subset it would get
+    unaccumulated."""
     if accum_steps == 1:
-        (_, metrics), grads = grads_fn(params, batch)
+        (_, metrics), grads = grads_fn(params, batch, subset_r)
         return metrics, grads
 
     B = batch.tokens.shape[0]
     assert B % accum_steps == 0, (
         f"batch {B} not divisible by accum_steps {accum_steps}"
     )
-    micro = jax.tree.map(
-        lambda x: x.reshape(accum_steps, B // accum_steps, *x.shape[1:]),
-        batch,
+    split = lambda x: x.reshape(accum_steps, B // accum_steps, *x.shape[1:])  # noqa: E731
+    micro = jax.tree.map(split, batch)
+    # scan xs must be arrays: a zero-width dummy stands in for None
+    micro_r = split(subset_r) if subset_r is not None else jnp.zeros(
+        (accum_steps, 0)
     )
 
-    def body(carry, mb):
-        (_, metrics), grads = grads_fn(params, Batch(*mb))
+    def body(carry, xs):
+        mb, r = xs
+        (_, metrics), grads = grads_fn(
+            params, Batch(*mb), r if subset_r is not None else None
+        )
         return (
             jax.tree.map(lambda a, g: a + g.astype(jnp.float32), carry[0], grads),
             jax.tree.map(jnp.add, carry[1], metrics),
@@ -125,7 +162,7 @@ def _accum_grads(grads_fn, params, batch: Batch, accum_steps: int):
 
     zeros_g = jax.tree.map(lambda p: jnp.zeros(p.shape, jnp.float32), params)
     zeros_m = {k: jnp.float32(0.0) for k in ("loss", "c0_loss", "decoder_loss")}
-    (gsum, msum), _ = jax.lax.scan(body, (zeros_g, zeros_m), micro)
+    (gsum, msum), _ = jax.lax.scan(body, (zeros_g, zeros_m), (micro, micro_r))
     grads = jax.tree.map(
         lambda g, p: (g / accum_steps).astype(p.dtype), gsum, params
     )
@@ -135,7 +172,8 @@ def _accum_grads(grads_fn, params, batch: Batch, accum_steps: int):
 def make_lora_train_step(cfg: CSMConfig, tx: optax.GradientTransformation,
                          alpha: float = 16.0, decoder_frames: int = 4,
                          remat: bool = False, accum_steps: int = 1,
-                         compute_dtype=None):
+                         compute_dtype=None, subset_rng: bool = True,
+                         subset_seed: int = 0):
     """→ jitted (state, base_params, batch) → (state, metrics).
 
     ``state.params`` is the LoRA adapter tree (training/lora.py); the
@@ -149,20 +187,24 @@ def make_lora_train_step(cfg: CSMConfig, tx: optax.GradientTransformation,
     def train_step(
         state: TrainState, base_params: dict, batch: Batch
     ) -> Tuple[TrainState, dict]:
-        def _grads(lora, b):
+        def _grads(lora, b, subset_r):
             def loss_fn(l):
                 merged = merge_lora(base_params, l, alpha)
                 if compute_dtype is not None:
                     merged = _cast_floating(merged, compute_dtype)
-                return csm_loss(merged, cfg, b, decoder_frames, remat=remat)
+                return csm_loss(merged, cfg, b, decoder_frames, remat=remat,
+                                subset_r=subset_r)
 
             return jax.value_and_grad(loss_fn, has_aux=True)(lora)
 
-        metrics, grads = _accum_grads(_grads, state.params, batch, accum_steps)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-        metrics["grad_norm"] = optax.global_norm(grads)
-        return TrainState(params, opt_state, state.step + 1), metrics
+        B, S, _ = batch.tokens.shape
+        subset_r = (
+            _subset_scores(state.step, B, S, subset_seed) if subset_rng else None
+        )
+        metrics, grads = _accum_grads(
+            _grads, state.params, batch, accum_steps, subset_r
+        )
+        return _apply_update(tx, state, grads, metrics)
 
     return train_step
 

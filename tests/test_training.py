@@ -92,7 +92,7 @@ def test_mixed_precision_step():
     )
 
     step = make_train_step(CFG, tx, decoder_frames=2,
-                           compute_dtype=jnp.bfloat16)
+                           compute_dtype=jnp.bfloat16, subset_rng=False)
     state = init_train_state(jax.tree.map(jnp.copy, params), tx)
     state, metrics = step(state, batch)
     np.testing.assert_allclose(float(metrics["loss"]), float(ref_loss),
@@ -108,6 +108,32 @@ def test_mixed_precision_step():
         for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(state.params))
     )
     assert moved
+
+
+def test_decoder_subset_randomizes_across_steps():
+    """With subset_rng (the default), different steps train different
+    audio rows — long clips are not forever onset-only (review finding).
+    The per-step scores are a pure function of the step counter, so the
+    same step index reproduces the same subset."""
+    from sesameai_tts_tpu.training.train_step import _subset_scores
+
+    r1 = np.asarray(_subset_scores(jnp.int32(1), 2, 16, seed=0))
+    r2 = np.asarray(_subset_scores(jnp.int32(2), 2, 16, seed=0))
+    r1b = np.asarray(_subset_scores(jnp.int32(1), 2, 16, seed=0))
+    assert not np.array_equal(r1, r2)
+    np.testing.assert_array_equal(r1, r1b)
+
+    # distinct subsets produce distinct decoder losses on a batch whose
+    # audio rows outnumber decoder_frames
+    params = init_csm_params(jax.random.PRNGKey(3), CFG, jnp.float32)
+    batch = _batch(B=1, S=16, seed=5)  # 8 audio rows, n=2
+    _, m1 = csm_loss(params, CFG, batch, decoder_frames=2,
+                     subset_r=jnp.asarray(r1[:1]))
+    _, m2 = csm_loss(params, CFG, batch, decoder_frames=2,
+                     subset_r=jnp.asarray(r2[:1]))
+    assert float(m1["decoder_loss"]) != float(m2["decoder_loss"])
+    # c0 loss covers every audio row either way
+    np.testing.assert_allclose(float(m1["c0_loss"]), float(m2["c0_loss"]))
 
 
 def test_sharded_train_step_on_mesh():

@@ -234,6 +234,39 @@ def test_checkpoint_resume_bit_exact(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_latest_checkpoint_past_8_digits(tmp_path):
+    """step_{:08d} widens beyond 8 digits; discovery must keep up."""
+    for step in (7, 99_999_999, 123_456_789):
+        (tmp_path / f"step_{step:08d}").mkdir()
+    assert ckpt_lib.latest_checkpoint(str(tmp_path)) == str(
+        tmp_path / "step_123456789"
+    )
+
+
+def test_resume_requires_ckpt_dir(tmp_path):
+    from sesameai_tts_tpu.training.finetune import main
+
+    with pytest.raises(SystemExit, match="ckpt-dir"):
+        main(["--data", str(tmp_path), "--flavor", "test-tiny", "--resume"])
+
+
+def test_unshuffled_loader_is_deterministic(ftok):
+    """shuffle=False (the eval loader config): identical batch sequence
+    on every epoch, including the repetition-padded tail."""
+    segs = [
+        Segment(speaker=0, text=f"clip {i}", audio=np.zeros(48 * (i + 1), np.float32))
+        for i in range(3)
+    ]
+    loader = BatchLoader(
+        segs, ftok, LoaderConfig(batch_size=2, buckets=(64,), shuffle=False)
+    )
+    a = [b.tokens for b in loader]
+    b = [b.tokens for b in loader]
+    assert len(a) == len(b)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(x, y)
+
+
 def test_grad_accumulation_matches_full_batch():
     """accum_steps=2 on a uniform-mask batch == the unaccumulated step."""
     rng = np.random.default_rng(2)
