@@ -331,6 +331,11 @@ class Generator:
     #    the analog of reference tts_service.py:133-138) -------------------
 
     @property
+    def max_seq_len(self) -> int:
+        """KV-cache capacity in rows (context + utterance + frames)."""
+        return self._max_seq_len
+
+    @property
     def frame_tokenizer(self) -> FrameTokenizer:
         return self._tokenizer
 
@@ -421,6 +426,16 @@ class Generator:
         tokens = np.concatenate(toks)
         mask = np.concatenate(masks)
         S = tokens.shape[0]
+        if S > self._max_seq_len - 16:
+            # a context that fills the KV cache leaves no slots for the
+            # utterance itself; fail with the remedy instead of the numpy
+            # broadcast error the padded copy below would raise
+            raise ValueError(
+                f"voice context is {S} rows but the KV cache holds "
+                f"{self._max_seq_len} (>=16 must stay free for the "
+                f"utterance); use shorter reference clips, or "
+                f"TTSEngine.load_voice, which tail-trims to fit"
+            )
         bucket = _next_bucket(S, self._prefill_buckets, room=self._max_seq_len)
         tok_pad = np.zeros((1, bucket, K + 1), np.int32)
         msk_pad = np.zeros((1, bucket, K + 1), bool)

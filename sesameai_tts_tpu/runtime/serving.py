@@ -383,7 +383,15 @@ class BatchedTTSServer:
                     s = self._sessions[slot]
                     if s is not None:
                         s.error = e
-                        self._finish(slot)
+                        try:
+                            self._finish(slot)  # _mark_done is a device op —
+                        except Exception:  # a dead backend must not kill the
+                            # recovery path too; host-only cleanup so no
+                            # listener stays blocked on chunks
+                            if self._sessions[slot] is not None:
+                                self._finish_session(s)
+                            self._sessions[slot] = None
+                            self._budget[slot] = 0
                 for q in (self._pending, self._ready):
                     while not q.empty():
                         try:

@@ -30,6 +30,7 @@ from __future__ import annotations
 import io
 import json
 import logging
+import math
 import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
@@ -40,6 +41,15 @@ from sesameai_tts_tpu.audio.io import write_wav
 from sesameai_tts_tpu.runtime.serving import BatchedTTSServer
 
 logger = logging.getLogger(__name__)
+
+
+# the OpenAI Audio API's published voice names (voice is a REQUIRED
+# request field there) — mapped to this server's default voice so stock
+# SDK calls work unchanged against /v1/audio/speech
+_OPENAI_STOCK_VOICES = frozenset({
+    "alloy", "ash", "ballad", "cedar", "coral", "echo", "fable", "marin",
+    "nova", "onyx", "sage", "shimmer", "verse",
+})
 
 
 def _wav_bytes(audio: np.ndarray, rate: int) -> bytes:
@@ -100,12 +110,32 @@ class TTSRequestHandler(BaseHTTPRequestHandler):
                 self._error(404, f"unknown voice {voice!r}")
                 return None
         try:
+            speaker = int(body.get("speaker", 1))
+            max_ms = float(body.get("max_audio_length_ms", 30_000))
+            temperature = float(body.get("temperature", 0.8))
+            topk = int(body.get("topk", 40))
+        except (TypeError, ValueError) as e:
+            self._error(400, f"bad parameters: {e}")
+            return None
+        # range-check BEFORE the values reach the shared decode program:
+        # temperature 0 divides logits to NaN (garbage audio with a 200),
+        # topk < 1 violates the sampler's top-k contract (ops/sampling.py)
+        if not (temperature > 0.0 and math.isfinite(temperature)):
+            self._error(400, "temperature must be a finite number > 0")
+            return None
+        if topk < 1:
+            self._error(400, "topk must be >= 1")
+            return None
+        if not max_ms > 0:
+            self._error(400, "max_audio_length_ms must be > 0")
+            return None
+        try:
             return self.engine.submit(
                 text.strip(),
-                speaker=int(body.get("speaker", 1)),
-                max_audio_length_ms=float(body.get("max_audio_length_ms", 30_000)),
-                temperature=float(body.get("temperature", 0.8)),
-                topk=int(body.get("topk", 40)),
+                speaker=speaker,
+                max_audio_length_ms=max_ms,
+                temperature=temperature,
+                topk=topk,
                 cached_context=cached,
             )
         except Exception as e:
@@ -290,9 +320,17 @@ class TTSRequestHandler(BaseHTTPRequestHandler):
                 400, "speed must be in [1.0, 4.0] (speed-up only)"
             )
             return
+        voice = body.get("voice")
+        if voice is not None and voice not in self.voices:
+            # OpenAI's API REQUIRES a voice field and stock SDK calls send
+            # names like "alloy" — a drop-in server must not 404 them.
+            # Unrecognized OpenAI stock names map to the server default
+            # (first registered voice, else context-free generation).
+            if str(voice).lower() in _OPENAI_STOCK_VOICES:
+                voice = sorted(self.voices)[0] if self.voices else None
         session = self._submit({
             "text": text,
-            "voice": body.get("voice"),
+            "voice": voice,
             "speaker": body.get("speaker", 1),
             "max_audio_length_ms": body.get("max_audio_length_ms", 30_000),
             "temperature": body.get("temperature", 0.8),
@@ -391,17 +429,27 @@ def main(argv=None):
     if args.voices:
         from sesameai_tts_tpu.audio.io import read_wav_mono
         from sesameai_tts_tpu.runtime.frames import Segment
+        from sesameai_tts_tpu.service.tts import _fit_context
         from sesameai_tts_tpu.service.voices import load_registry
 
+        budget = max(16, gen.max_seq_len - max(64, gen.max_seq_len // 8))
         for name, clips in load_registry(args.voices).items():
-            segments = [
-                Segment(speaker=1, text=text,
-                        audio=read_wav_mono(path, gen.sample_rate)[0])
+            segs = [
+                gen.frame_tokenizer.segment(
+                    Segment(speaker=1, text=text,
+                            audio=read_wav_mono(path, gen.sample_rate)[0])
+                )
                 for path, text in clips.items()
             ]
+            fitted, rows, trimmed = _fit_context(segs, budget)
+            if trimmed:
+                logger.warning(
+                    "voice %r context tail-trimmed to %d rows to fit the "
+                    "KV budget; use shorter reference clips", name, rows,
+                )
             # precompute each voice's KV prefix ONCE; every request for the
             # voice reuses it (no per-request context prefill)
-            voices[name] = gen.precompute_context_state(segments)
+            voices[name] = gen.precompute_context_state(fitted)
 
     wm = None
     if args.flavor != "test-tiny":

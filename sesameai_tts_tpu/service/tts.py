@@ -41,6 +41,29 @@ from sesameai_tts_tpu.watermark.api import CSM_1B_WATERMARK, load_watermarker, w
 logger = logging.getLogger(__name__)
 
 
+def _fit_context(segs, budget: int):
+    """Tail-trim tokenized ``(tokens, mask)`` segments to ≤ ``budget`` rows.
+
+    Drops the OLDEST clips whole first; if the newest clip alone still
+    exceeds the budget, keeps its tail rows — the most recent audio is
+    what carries the prosody the next utterance continues from. Returns
+    ``(segs, total_rows, trimmed)``.
+    """
+    total = sum(int(t.shape[0]) for t, _ in segs)
+    if total <= budget:
+        return list(segs), total, False
+    segs = list(segs)
+    while len(segs) > 1 and total > budget:
+        total -= int(segs[0][0].shape[0])
+        segs = segs[1:]
+    if total > budget:
+        t, m = segs[0]
+        cut = total - budget
+        segs[0] = (t[cut:], m[cut:])
+        total = budget
+    return segs, total, True
+
+
 class TTS:
     """Text-to-speech engine over the TPU-native Generator."""
 
@@ -99,9 +122,28 @@ class TTS:
         self.cached_segments = [
             self.generator.frame_tokenizer.segment(s) for s in segments
         ]
-        self.cached_context = self.generator.precompute_context_state(
-            self.cached_segments
+        # the KV cache must hold context + utterance text + audio frames;
+        # reserve an eighth (min 64 rows — enough for a long sentence +
+        # frames) for those and tail-trim the voice context into what's
+        # left rather than failing outright
+        budget = max(
+            16,
+            self.generator.max_seq_len
+            - max(64, self.generator.max_seq_len // 8),
         )
+        raw_rows = sum(int(t.shape[0]) for t, _ in self.cached_segments)
+        fitted, rows, trimmed = _fit_context(self.cached_segments, budget)
+        if trimmed:
+            logger.warning(
+                "voice %r context (%d rows) exceeds the KV budget; "
+                "tail-trimmed to %d rows — use shorter reference clips "
+                "for full-fidelity voice conditioning",
+                voice_name, raw_rows, rows,
+            )
+            # every downstream consumer (incl. the no-cache fallback in
+            # generate_with_context) must see the SAME effective context
+            self.cached_segments = fitted
+        self.cached_context = self.generator.precompute_context_state(fitted)
         print("Reference audio context prepared")
         if warmup:
             logger.debug("Warming up...")

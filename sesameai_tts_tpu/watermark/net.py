@@ -91,14 +91,24 @@ def _conv2d(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return out + b[None, :, None, None]
 
 
-def _stack_apply(blocks: Tuple[dict, ...], x: jnp.ndarray) -> jnp.ndarray:
+def _stack_apply(
+    blocks: Tuple[dict, ...], x: jnp.ndarray, t_mask: jnp.ndarray | None = None
+) -> jnp.ndarray:
     """Sequential Conv(+folded BN)+ReLU blocks; final block linear (the
-    residual / logit heads must span negative values)."""
+    residual / logit heads must span negative values).
+
+    ``t_mask`` (broadcastable over the time axis) zeroes activations
+    after every block: the streaming embedder runs blocks on a LONGER
+    time axis than the offline program's, and masking each layer at the
+    offline frame count makes the SAME zero padding the offline conv
+    sees at its time boundary (watermark/stream.py)."""
     n = len(blocks)
     for i, p in enumerate(blocks):
         x = _conv2d(x, p["w"], p["b"])
         if i < n - 1:
             x = jax.nn.relu(x)
+        if t_mask is not None:
+            x = x * t_mask
     return x
 
 

@@ -35,6 +35,8 @@ from __future__ import annotations
 
 from typing import List, Optional
 
+import threading
+
 import numpy as np
 
 from sesameai_tts_tpu.audio.resample import StreamingResampler
@@ -266,9 +268,11 @@ def _net_receptive_halfwidth(params: dict) -> int:
 
 
 _NET_BLOCK_IMPL = None
+_NET_BLOCK_LOCK = threading.Lock()
 
 
-def _net_block_segs(params, cfg, xseg, message, frames: int, keep_lo: int):
+def _net_block_segs(params, cfg, xseg, message, frames: int, keep_lo: int,
+                    valid_t: int):
     """Jitted per-block net residual. MODULE-LEVEL so the jit cache is
     shared across embedder instances: per-request construction (one
     embedder per /tts/stream response) never re-traces or re-compiles —
@@ -279,8 +283,14 @@ def _net_block_segs(params, cfg, xseg, message, frames: int, keep_lo: int):
     backend after the TPU client is live hangs the process."""
     global _NET_BLOCK_IMPL
     if _NET_BLOCK_IMPL is None:
-        _NET_BLOCK_IMPL = _make_net_block_impl()
-    return _NET_BLOCK_IMPL(params, cfg, xseg, message, frames, keep_lo)
+        with _NET_BLOCK_LOCK:
+            # double-checked: two concurrent cold requests must share ONE
+            # jitted impl (a second function object means every block
+            # signature compiles twice — minutes each on this platform)
+            if _NET_BLOCK_IMPL is None:
+                _NET_BLOCK_IMPL = _make_net_block_impl()
+    return _NET_BLOCK_IMPL(params, cfg, xseg, message, frames, keep_lo,
+                           np.int32(valid_t))
 
 
 def _make_net_block_impl():
@@ -290,7 +300,7 @@ def _make_net_block_impl():
     import jax.numpy as jnp
 
     @functools.partial(jax.jit, static_argnames=("cfg", "frames", "keep_lo"))
-    def impl(params, cfg, xseg, message, frames, keep_lo):
+    def impl(params, cfg, xseg, message, frames, keep_lo, valid_t):
         n_fft, hop = cfg.n_fft, cfg.hop
         win = jnp.asarray(np.hanning(n_fft + 1)[:-1].astype(np.float32))
         starts = jnp.arange(frames) * hop
@@ -300,16 +310,24 @@ def _make_net_block_impl():
         spec = jnp.fft.rfft(segs * win, axis=-1)
         mag = jnp.abs(spec)
         phase = spec / (mag + 1e-8)
-        mag4 = mag.T[None, None]
+        # offline runs the convs on EXACTLY the bucketed frame count and
+        # zero-pads activations past it; valid_t (traced — one program)
+        # reproduces that boundary when this block extends past it
+        t_mask = (jnp.arange(frames) < valid_t).astype(mag.dtype)[
+            None, None, None, :
+        ]
+        mag4 = mag.T[None, None] * t_mask
         from sesameai_tts_tpu.watermark.net import _stack_apply
 
-        feats = _stack_apply(params["enc_c"], mag4)
+        feats = _stack_apply(params["enc_c"], mag4, t_mask)
         msg = params["enc_m"][message]
         msg_ch = jnp.broadcast_to(
             msg[None, :, :, None], (1, msg.shape[0], msg.shape[1], frames)
         )
         resid = _stack_apply(
-            params["dec_c"], jnp.concatenate([mag4, feats, msg_ch], axis=1)
+            params["dec_c"],
+            jnp.concatenate([mag4, feats, msg_ch], axis=1) * t_mask,
+            t_mask,
         )[0, 0].T  # (frames, n_bins)
         out = jnp.fft.irfft(resid * phase, n=n_fft, axis=-1) * win
         return out[keep_lo:]
@@ -348,6 +366,9 @@ class StreamingNetEmbedder:
         self._xin0 = 0
         self._n_in = 0
         self._head: Optional[np.ndarray] = None  # the offline reflect pad
+        self._endpad: Optional[np.ndarray] = None  # offline END reflect pad
+        self._end0 = 0  # xpad coord where the end reflection begins
+        self._fmax: Optional[int] = None  # offline frame count (close only)
         self._f_done = 0
         self._ola = np.zeros(0, np.float64)  # resid OLA from _out0 (xpad coords)
         self._wsum = np.zeros(0, np.float64)
@@ -360,8 +381,10 @@ class StreamingNetEmbedder:
     # -- internals ---------------------------------------------------------
 
     def _xpad_slice(self, lo: int, hi: int) -> np.ndarray:
-        """xpad[lo:hi] where xpad = reflect_head(pad) + input (+ zeros
-        past the end) — the exact signal the offline STFT frames see."""
+        """xpad[lo:hi] where xpad = reflect_head(pad) + input + zeros to
+        the frame bucket + reflect_end(pad) — the exact signal the
+        offline STFT frames see (the end reflection exists only once
+        close() has fixed the stream length)."""
         out = np.zeros(hi - lo, np.float32)
         h_lo, h_hi = max(lo, 0), min(hi, self._pad)
         if h_hi > h_lo:
@@ -371,6 +394,12 @@ class StreamingNetEmbedder:
         if x_hi > x_lo:
             a = x_lo - self._pad - self._xin0
             out[x_lo - lo : x_hi - lo] = self._xin[a : a + (x_hi - x_lo)]
+        if self._endpad is not None and hi > self._end0:
+            e_lo, e_hi = max(lo, self._end0), min(hi, self._end0 + self._pad)
+            if e_hi > e_lo:
+                out[e_lo - lo : e_hi - lo] = self._endpad[
+                    e_lo - self._end0 : e_hi - self._end0
+                ]
         return out
 
     def _process_blocks(self, f_end: Optional[int]) -> None:
@@ -392,10 +421,16 @@ class StreamingNetEmbedder:
                 return
             lo_f = max(0, a - L)
             seg = self._xpad_slice(lo_f * hop, hi_sample)
+            n_frames = b + L - lo_f
+            valid_t = (
+                min(self._fmax - lo_f, n_frames)
+                if self._fmax is not None
+                else n_frames
+            )
             out = np.asarray(
                 _net_block_segs(
                     self._model.params, self._model.cfg, seg, self._msg,
-                    b + L - lo_f, a - lo_f,
+                    n_frames, a - lo_f, valid_t,
                 ),
                 np.float64,
             )[: b - a]
@@ -405,6 +440,10 @@ class StreamingNetEmbedder:
                 self._ola = np.concatenate([self._ola, np.zeros(grow)])
                 self._wsum = np.concatenate([self._wsum, np.zeros(grow)])
             for t in range(b - a):
+                if self._fmax is not None and (a + t) >= self._fmax:
+                    continue  # offline has exactly _fmax frames: phantom
+                    # block-fill frames past it must not enter OLA/wsum
+                    # (they overlap the emitted tail when bucket == nf)
                 s = (a + t) * hop - self._out0
                 self._ola[s : s + n_fft] += out[t]
                 self._wsum[s : s + n_fft] += self._win2
@@ -465,6 +504,21 @@ class StreamingNetEmbedder:
             ext = np.pad(self._xin, (0, self._pad + 1 - self._n_in))
             self._head = ext[1:][::-1].copy()
         nf = 1 + self._n_in // self._hop
+        from sesameai_tts_tpu.watermark.net import _bucket_frames
+
+        self._fmax = _bucket_frames(nf)  # offline frame count
+        need = self._fmax * self._hop
+        # offline reflect-pads xp = input + zeros(need - n) at the end:
+        # xpad[pad+need+i] = xp[need-2-i]. When the zero gap is < pad
+        # (every length where 1+n//hop lands exactly on a power of two)
+        # the reflection mirrors REAL samples that the last frames read.
+        idx = need - 2 - np.arange(self._pad)
+        vals = np.zeros(self._pad, np.float32)
+        real = (idx >= self._xin0) & (idx < self._n_in)
+        if real.any():
+            vals[real] = self._xin[idx[real] - self._xin0]
+        self._endpad = vals
+        self._end0 = self._pad + need
         f_end = nf + -(-self._pad // self._hop)  # covers every real sample
         self._process_blocks(max(f_end, self._f_done))
         return self._emit_ready()

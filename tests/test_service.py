@@ -87,6 +87,69 @@ def test_cached_context_matches_uncached(tts):
     np.testing.assert_array_equal(f_cached, f_raw)
 
 
+def test_fit_context_trims_tail_first():
+    """Over-budget voice context: oldest clips drop whole, then the
+    newest clip keeps its TAIL rows; under-budget passes through."""
+    from sesameai_tts_tpu.service.tts import _fit_context
+
+    def seg(n, tag):
+        t = np.full((n, 9), tag, np.int32)
+        return t, np.ones((n, 9), bool)
+
+    segs = [seg(50, 1), seg(80, 2), seg(100, 3)]
+    out, rows, trimmed = _fit_context(segs, budget=300)
+    assert not trimmed and rows == 230 and len(out) == 3
+
+    out, rows, trimmed = _fit_context(segs, budget=190)
+    assert trimmed and rows == 180
+    assert [o[0][0, 0] for o in out] == [2, 3]  # clip 1 dropped whole
+
+    out, rows, trimmed = _fit_context(segs, budget=60)
+    assert trimmed and rows == 60 and len(out) == 1
+    assert out[0][0].shape[0] == 60  # tail of the newest clip
+    assert out[0][0][0, 0] == 3
+
+
+def test_load_voice_overlong_context_trims(voice_dir, caplog):
+    """A voice whose clips exceed the KV budget loads anyway (tail-trim
+    + warning) and the cached prefix fits the cache. Regression: this
+    used to die in precompute_context_state with a numpy broadcast
+    error (1 s of tiny-codec audio is ~500 rows vs max_seq_len=256)."""
+    import logging as _logging
+    from pathlib import Path
+
+    root = Path(voice_dir)
+    vdir = root / "longvoice"
+    vdir.mkdir(exist_ok=True)
+    rng = np.random.default_rng(3)
+    wav = (rng.normal(size=24_000) * 0.1).astype(np.float32)  # 1 s
+    write_wav(str(vdir / "clip.wav"), wav, 24_000)
+    (vdir / "clip.txt").write_text("a deliberately long reference clip")
+
+    engine = TTS(spec=tiny_spec(), voices=voice_dir, enable_watermark=False)
+    engine.load_model()
+    with caplog.at_level(_logging.WARNING, "sesameai_tts_tpu.service.tts"):
+        engine.load_voice("longvoice", warmup=False)
+    assert any("tail-trimmed" in r.message for r in caplog.records)
+    state, length = engine.cached_context
+    assert 0 < length <= engine.generator.max_seq_len - 16
+    audio = engine.generate_with_context(
+        "hi", max_audio_length_ms=480, temperature=0.8, topk=5
+    )
+    assert audio.dtype == np.float32
+
+
+def test_precompute_context_state_overlong_raises(tts):
+    """Generator-level contract: an unfittable context raises a clear
+    ValueError, not a numpy broadcast error."""
+    K = tts.generator._cfg.audio_num_codebooks
+    n = tts.generator.max_seq_len + 10
+    t = np.zeros((n, K + 1), np.int32)
+    m = np.ones((n, K + 1), bool)
+    with pytest.raises(ValueError, match="voice context"):
+        tts.generator.precompute_context_state([(t, m)])
+
+
 def test_export_wav(tts, tmp_path):
     out = tmp_path / "out.wav"
     tts.export_wav("One sentence. Two sentences.", str(out), temperature=0.8, topk=5)

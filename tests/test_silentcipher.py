@@ -284,6 +284,56 @@ def test_streaming_net_embed_matches_offline():
     )
 
 
+def test_streaming_net_embed_matches_offline_at_bucket_boundary():
+    """Lengths where 1 + n//hop lands EXACTLY on the frame bucket are the
+    hard case: the offline program's end reflect-pad mirrors real samples
+    and its conv time axis ends right at the last real frames. The
+    streaming embedder reproduces both (end-reflection materialized at
+    close, traced valid_t mask replicating the conv boundary)."""
+    import jax
+    import jax.numpy as jnp
+
+    from sesameai_tts_tpu.watermark.net import (
+        NetWatermarker,
+        _bucket_frames,
+        _embed_jit,
+        _frames_for,
+        init_params,
+        silentcipher_test_tiny,
+    )
+    from sesameai_tts_tpu.watermark.stream import StreamingNetEmbedder
+
+    cfg = silentcipher_test_tiny()
+    params = init_params(cfg, jax.random.PRNGKey(0))
+    model = NetWatermarker(params, cfg)
+    msg = [212, 211, 146, 56, 201]
+    rng = np.random.default_rng(11)
+
+    for n in (32 * cfg.hop - 1, 32 * cfg.hop - 20, 64 * cfg.hop - cfg.hop // 2):
+        assert _bucket_frames(_frames_for(n, cfg)) == _frames_for(n, cfg)
+        x = (rng.normal(size=n) * 0.2).astype(np.float32)
+        frames = _bucket_frames(_frames_for(n, cfg))
+        xp = np.pad(x, (0, frames * cfg.hop - n))
+        resid_off, _, _ = _embed_jit(
+            params, cfg, jnp.asarray(xp), jnp.asarray(msg, jnp.int32),
+            frames, jnp.int32(n),
+        )
+        resid_off = np.asarray(resid_off)[:n]
+
+        se = StreamingNetEmbedder(model, msg, alpha=1.0)
+        outs, i = [], 0
+        while i < n:
+            c = int(rng.integers(50, 900))
+            outs.append(se.feed(x[i : i + c]))
+            i += c
+        outs.append(se.close())
+        y = np.concatenate(outs)
+        assert len(y) == n
+        np.testing.assert_allclose(
+            y - x, resid_off, atol=5e-5 + 1e-3 * np.abs(resid_off).max()
+        )
+
+
 def test_streaming_net_pipeline_shape_and_latency():
     """The net streaming pipe (resample→embed→resample) preserves length
     and emits well before the 4 s group fallback would."""
