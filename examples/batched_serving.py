@@ -33,11 +33,12 @@ def main():
         "A fifth queues until a slot frees.",
     ]
     t0 = time.time()
-    sessions = [server.submit(t, max_audio_length_ms=5_000, temperature=0.8, topk=40)
-                for t in texts]
+    # one call fans the texts over the slot pool and returns PCM in order
+    out = server.synthesize_batch(
+        texts, max_audio_length_ms=5_000, temperature=0.8, topk=40
+    )
     total_audio = 0.0
-    for i, s in enumerate(sessions):
-        audio = s.audio(timeout=600)
+    for i, audio in enumerate(out):
         total_audio += len(audio) / gen.sample_rate
         print(f"session {i}: {len(audio)/gen.sample_rate:.2f}s audio")
     wall = time.time() - t0

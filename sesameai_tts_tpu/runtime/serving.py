@@ -212,6 +212,37 @@ class BatchedTTSServer:
         self._pending.put(s)
         return s
 
+    def synthesize_batch(
+        self,
+        texts: Sequence[str],
+        timeout: Optional[float] = 600.0,
+        **kw,
+    ) -> List[np.ndarray]:
+        """Synthesize many utterances concurrently over the slot pool;
+        return their PCM in input order.
+
+        The offline analog of the reference's sequential per-sentence
+        loop (web_storyteller.py:226-287 / tts_service.py:472-525): all
+        texts share the pool, so wall-clock is aggregate-throughput
+        bound (~B× the sequential path at full occupancy) instead of
+        single-stream bound. ``kw`` (speaker/temperature/topk/
+        cached_context/...) applies to every text. A failed utterance
+        raises after the others are collected — cancel-on-first-error
+        would waste already-decoded audio.
+        """
+        sessions = [self.submit(t, **kw) for t in texts]
+        out: List[Optional[np.ndarray]] = [None] * len(sessions)
+        first_err: Optional[Exception] = None
+        for i, s in enumerate(sessions):
+            try:
+                out[i] = s.audio(timeout=timeout)
+            except Exception as e:  # keep draining: later sessions still
+                first_err = first_err or e  # hold slots until consumed
+                s.cancel()
+        if first_err is not None:
+            raise first_err
+        return out  # type: ignore[return-value]
+
     def metrics_summary(self) -> dict:
         """Structured engine metrics: TTFA percentiles, frame/session
         counters, occupancy — the /metrics HTTP surface."""

@@ -32,6 +32,24 @@ def test_concurrent_sessions_complete(server):
         assert audio.shape[0] == total_frames * hop
 
 
+def test_synthesize_batch_order_and_errors(server):
+    """synthesize_batch returns PCM in input order, and an over-long
+    text raises only after the healthy utterances were collected."""
+    hop = server.gen._mimi.cfg.hop_length
+    out = server.synthesize_batch(
+        ["first utterance", "second one", "third here"],
+        max_audio_length_ms=480, temperature=0.8, topk=5,
+    )
+    assert len(out) == 3
+    for audio in out:
+        assert audio.dtype == np.float32 and audio.shape[0] % hop == 0
+    with pytest.raises(ValueError, match="Inputs too long"):
+        server.synthesize_batch(
+            ["ok short text", "x " * 3000], max_audio_length_ms=480,
+            temperature=0.8, topk=5,
+        )
+
+
 def test_session_error_propagates(server):
     s = server.submit("x " * 3000, max_audio_length_ms=480)  # too long
     with pytest.raises(ValueError, match="Inputs too long"):
