@@ -336,6 +336,13 @@ class Generator:
         return self._max_seq_len
 
     @property
+    def context_budget(self) -> int:
+        """Rows a precomputed voice context may occupy: KV capacity minus
+        a reserve (an eighth, min 64) for the utterance text + frames.
+        The one shared policy for every voice-preload site."""
+        return max(16, self._max_seq_len - max(64, self._max_seq_len // 8))
+
+    @property
     def frame_tokenizer(self) -> FrameTokenizer:
         return self._tokenizer
 
@@ -434,7 +441,7 @@ class Generator:
                 f"voice context is {S} rows but the KV cache holds "
                 f"{self._max_seq_len} (>=16 must stay free for the "
                 f"utterance); use shorter reference clips, or "
-                f"TTSEngine.load_voice, which tail-trims to fit"
+                f"TTS.load_voice (service/tts.py), which tail-trims to fit"
             )
         bucket = _next_bucket(S, self._prefill_buckets, room=self._max_seq_len)
         tok_pad = np.zeros((1, bucket, K + 1), np.int32)

@@ -63,10 +63,22 @@ class Session:
         self.cancelled = True
 
     def audio(self, timeout: Optional[float] = None) -> np.ndarray:
-        """Block until finished; return concatenated PCM."""
+        """Block until finished; return concatenated PCM.
+
+        ``timeout`` bounds the TOTAL wait (not each chunk gap): on
+        expiry, already-queued chunks still drain, then ``queue.Empty``
+        is raised if the session would have to be waited on further."""
         out = []
+        deadline = None if timeout is None else time.monotonic() + timeout
         while True:
-            chunk = self.chunks.get(timeout=timeout)
+            if deadline is None:
+                chunk = self.chunks.get()
+            else:
+                rem = deadline - time.monotonic()
+                chunk = (
+                    self.chunks.get(timeout=rem) if rem > 0
+                    else self.chunks.get_nowait()  # drain, never block
+                )
             if chunk is None:
                 break
             out.append(chunk)
@@ -226,16 +238,22 @@ class BatchedTTSServer:
         texts share the pool, so wall-clock is aggregate-throughput
         bound (~B× the sequential path at full occupancy) instead of
         single-stream bound. ``kw`` (speaker/temperature/topk/
-        cached_context/...) applies to every text. A failed utterance
-        raises after the others are collected — cancel-on-first-error
-        would waste already-decoded audio.
+        cached_context/...) applies to every text. ``timeout`` is one
+        overall deadline for the whole batch. A failed utterance raises
+        after the others are collected — cancel-on-first-error would
+        waste already-decoded audio.
         """
         sessions = [self.submit(t, **kw) for t in texts]
+        deadline = None if timeout is None else time.monotonic() + timeout
         out: List[Optional[np.ndarray]] = [None] * len(sessions)
         first_err: Optional[Exception] = None
         for i, s in enumerate(sessions):
+            rem = (
+                None if deadline is None
+                else max(0.0, deadline - time.monotonic())
+            )
             try:
-                out[i] = s.audio(timeout=timeout)
+                out[i] = s.audio(timeout=rem)
             except Exception as e:  # keep draining: later sessions still
                 first_err = first_err or e  # hold slots until consumed
                 s.cancel()
@@ -452,9 +470,20 @@ class BatchedTTSServer:
             for slot in range(self.B):
                 if self._sessions[slot] is None and not self._ready.empty():
                     try:
-                        self._attach(slot, self._ready.get_nowait())
+                        item = self._ready.get_nowait()
                     except queue.Empty:
                         break
+                    try:
+                        self._attach(slot, item)
+                    except Exception as e:
+                        # the popped session is in neither _sessions nor
+                        # _ready, so the _loop recovery can't see it —
+                        # terminate it here, then let recovery handle the
+                        # rest (a listener would otherwise block forever)
+                        s = item[0]
+                        s.error = e
+                        s.chunks.put(None)
+                        raise
 
             active = [s for s in self._sessions if s is not None]
             if not active:

@@ -105,16 +105,20 @@ class TTSRequestHandler(BaseHTTPRequestHandler):
         cached = None
         voice = body.get("voice")
         if voice is not None:
+            if not isinstance(voice, str):  # a list/dict is unhashable —
+                self._error(400, "voice must be a string")  # .get would raise
+                return None
             cached = self.voices.get(voice)
             if cached is None:
                 self._error(404, f"unknown voice {voice!r}")
                 return None
         try:
+            # OverflowError: json parses 1e999 as inf; int(inf) raises it
             speaker = int(body.get("speaker", 1))
             max_ms = float(body.get("max_audio_length_ms", 30_000))
             temperature = float(body.get("temperature", 0.8))
             topk = int(body.get("topk", 40))
-        except (TypeError, ValueError) as e:
+        except (TypeError, ValueError, OverflowError) as e:
             self._error(400, f"bad parameters: {e}")
             return None
         # range-check BEFORE the values reach the shared decode program:
@@ -126,8 +130,9 @@ class TTSRequestHandler(BaseHTTPRequestHandler):
         if topk < 1:
             self._error(400, "topk must be >= 1")
             return None
-        if not max_ms > 0:
-            self._error(400, "max_audio_length_ms must be > 0")
+        if not (max_ms > 0 and math.isfinite(max_ms)):
+            # inf passes >0 but int(inf/FRAME_MS) dies in the admission loop
+            self._error(400, "max_audio_length_ms must be a finite number > 0")
             return None
         try:
             return self.engine.submit(
@@ -321,12 +326,15 @@ class TTSRequestHandler(BaseHTTPRequestHandler):
             )
             return
         voice = body.get("voice")
+        if voice is not None and not isinstance(voice, str):
+            self._error(400, "voice must be a string")  # lists are unhashable
+            return
         if voice is not None and voice not in self.voices:
             # OpenAI's API REQUIRES a voice field and stock SDK calls send
             # names like "alloy" — a drop-in server must not 404 them.
             # Unrecognized OpenAI stock names map to the server default
             # (first registered voice, else context-free generation).
-            if str(voice).lower() in _OPENAI_STOCK_VOICES:
+            if voice.lower() in _OPENAI_STOCK_VOICES:
                 voice = sorted(self.voices)[0] if self.voices else None
         session = self._submit({
             "text": text,
@@ -432,7 +440,7 @@ def main(argv=None):
         from sesameai_tts_tpu.service.tts import _fit_context
         from sesameai_tts_tpu.service.voices import load_registry
 
-        budget = max(16, gen.max_seq_len - max(64, gen.max_seq_len // 8))
+        budget = gen.context_budget
         for name, clips in load_registry(args.voices).items():
             segs = [
                 gen.frame_tokenizer.segment(

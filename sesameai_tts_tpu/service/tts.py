@@ -123,14 +123,9 @@ class TTS:
             self.generator.frame_tokenizer.segment(s) for s in segments
         ]
         # the KV cache must hold context + utterance text + audio frames;
-        # reserve an eighth (min 64 rows — enough for a long sentence +
-        # frames) for those and tail-trim the voice context into what's
-        # left rather than failing outright
-        budget = max(
-            16,
-            self.generator.max_seq_len
-            - max(64, self.generator.max_seq_len // 8),
-        )
+        # tail-trim the voice context into the generator's context budget
+        # (capacity minus the utterance reserve) rather than failing
+        budget = self.generator.context_budget
         raw_rows = sum(int(t.shape[0]) for t, _ in self.cached_segments)
         fitted, rows, trimmed = _fit_context(self.cached_segments, budget)
         if trimmed:

@@ -216,10 +216,44 @@ def test_openai_speech_errors(api):
         ({"input": "x", "speed": 0.5}, 400),           # slow-down unsupported
         ({"input": "x", "speed": "quick"}, 400),
         ({"input": "x", "voice": "nope"}, 404),
+        ({"input": "x", "voice": ["alloy"]}, 400),     # unhashable voice
     ):
         with pytest.raises(urllib.error.HTTPError) as ei:
             _post(base, "/v1/audio/speech", body)
         assert ei.value.code == code, body
+
+
+def test_openai_stock_voice_maps_to_default(api):
+    """Stock SDK calls send OpenAI voice names; the server maps them to
+    its default voice instead of 404ing (drop-in compatibility)."""
+    base, gen = api
+    with _post(base, "/v1/audio/speech",
+               {"input": "alloy maps to the default voice",
+                "voice": "alloy", "max_audio_length_ms": 640,
+                "temperature": 0.9, "topk": 5}) as r:
+        assert r.status == 200
+        assert len(r.read()) > 44
+
+
+def test_tts_rejects_hostile_parameters(api):
+    """Out-of-range/overflowing sampler params get a 400 BEFORE reaching
+    the shared decode program (temperature 0 → NaN logits; json 1e999 →
+    inf → OverflowError in int(); inf budget → OverflowError in the
+    admission loop; unhashable voice → TypeError)."""
+    base, _ = api
+    for body in (
+        {"text": "x", "temperature": 0},
+        {"text": "x", "temperature": float("nan")},
+        {"text": "x", "topk": 0},
+        {"text": "x", "speaker": 1e999},
+        {"text": "x", "topk": 1e999},
+        {"text": "x", "max_audio_length_ms": float("inf")},
+        {"text": "x", "max_audio_length_ms": -5},
+        {"text": "x", "voice": ["demo"]},
+    ):
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            _post(base, "/tts", body)
+        assert ei.value.code == 400, body
 
 
 def test_openai_models_listing(api):
