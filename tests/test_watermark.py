@@ -86,6 +86,38 @@ def test_full_pipeline_24k_resample_roundtrip(wm):
     assert verify(wm, marked, out_rate, CSM_1B_WATERMARK)
 
 
+def test_hard_content_composite_channel(wm):
+    """Pausey (40% silence) content through the composite channel
+    (leading trim + 16-bit + 24k round trip + 0.7 gain) — the hardest
+    measured case for the DSP scheme.  Regression for the robust
+    (clipped) residual aggregation in _slot_scores_jit: the unclipped
+    estimator scored 2.3-2.8 (< threshold 4) here; clipped scores ≥ 5
+    with the null far below."""
+    from sesameai_tts_tpu.audio.resample import resample
+
+    sr = 44_100
+    rng = np.random.default_rng(0)
+    t = np.arange(10 * sr) / sr
+    n = rng.normal(size=t.shape).astype(np.float32)
+    env = 0.5 + 0.5 * np.sin(2 * np.pi * 3.1 * t) ** 2
+    gate = (np.sin(2 * np.pi * 1.3 * t) > -0.3).astype(np.float32)
+    x = (n * env * gate * 0.1).astype(np.float32)
+
+    y, _ = wm.encode_wav(x, sr, CSM_1B_WATERMARK, message_sdr=30.0)
+
+    def channel(a):
+        z = resample(resample(a[2048 + 17:], sr, 24_000), 24_000, sr)
+        return (np.clip(np.round(z * 0.7 * 32767), -32768, 32767)
+                / 32767).astype(np.float32)
+
+    res = wm.decode_wav(channel(y), sr, phase_shift_decoding=True,
+                        expected_message=CSM_1B_WATERMARK)
+    assert res["status"] and res["confidence"] > 5.0
+    null = wm.decode_wav(channel(x), sr, phase_shift_decoding=True,
+                         expected_message=CSM_1B_WATERMARK)
+    assert not null["status"]
+
+
 # ---------------------------------------------------------------------------
 # Streaming watermark (watermark/stream.py): continuous grid, no groups
 # ---------------------------------------------------------------------------
