@@ -96,6 +96,10 @@ class CausalConv1d(NamedTuple):
     @property
     def pad(self) -> int:  # left padding for causality
         k_eff = (self.kernel_size - 1) * self.dilation + 1
+        assert k_eff >= self.stride, (
+            f"effective kernel {k_eff} < stride {self.stride}: negative "
+            f"causal pad (misconfigured CausalConv1d)"
+        )
         return k_eff - self.stride
 
     def init(self, key: jax.Array, dtype=jnp.float32) -> dict:

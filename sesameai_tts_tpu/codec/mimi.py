@@ -90,7 +90,17 @@ class Mimi:
         d = cfg.seanet.dimension
         s = cfg.downsample_stride
         self.downsample = CausalConv1d(d, d, 2 * s, stride=s, bias=False)
-        self.upsample = CausalConvTranspose1d(d, d, 2 * s, stride=s, bias=False)
+        # the upsample is CHANNEL-WISE (groups=dimension) in the real
+        # model — kyutai's historical "upsample bug", kept by every
+        # published checkpoint (transformers MimiConfig.upsample_groups
+        # defaults to hidden_size=512; moshi upsample_channel_wise_bug).
+        # Weight shape (d, 1, 2s) so converted checkpoints load directly.
+        self.upsample = CausalConvTranspose1d(
+            d, d, 2 * s, stride=s, groups=d, bias=False
+        )
+        self._rope_cs = precompute_codec_rope(
+            cfg.transformer, cfg.max_latent_positions
+        )
 
     # -- params ------------------------------------------------------------
 
@@ -107,7 +117,23 @@ class Mimi:
         }
 
     def _rope(self):
-        return precompute_codec_rope(self.cfg.transformer, self.cfg.max_latent_positions)
+        # cached in __init__: rebuilding per call re-embedded the table
+        # as a fresh constant in every trace and recomputed it eagerly
+        return self._rope_cs
+
+    def _check_latent_len(self, t25: int) -> None:
+        """RoPE positions past ``max_latent_positions`` would silently
+        CLAMP in the table gather (collapsing rotary angles); lengths are
+        static under jit, so fail loudly at trace time instead.  The
+        streaming paths reset state per session (sessions are bounded by
+        max_seq_len frames ≪ this limit)."""
+        if t25 > self.cfg.max_latent_positions:
+            raise ValueError(
+                f"{t25} latent positions exceed max_latent_positions="
+                f"{self.cfg.max_latent_positions} (~"
+                f"{self.cfg.max_latent_positions // 25} s of audio); "
+                f"split the clip into chunks"
+            )
 
     # -- offline -----------------------------------------------------------
 
@@ -117,6 +143,7 @@ class Mimi:
         T must be a multiple of hop_length (pad right with zeros to a
         whole number of 80 ms frames, as the host runtime does).
         """
+        self._check_latent_len(wav.shape[-1] // self.cfg.seanet.hop_length)
         latent = self.encoder.apply(params["encoder"], wav)  # (B, D, T25)
         B = latent.shape[0]
         h, _ = codec_transformer_forward(
@@ -134,8 +161,12 @@ class Mimi:
 
     def decode(self, params: dict, codes: jnp.ndarray) -> jnp.ndarray:
         """(B, K, F) int32 → (B, 1, F*hop) float wav."""
+        self._check_latent_len(codes.shape[-1] * self.cfg.downsample_stride)
         latent = split_rvq_decode(params["quantizer"], self.cfg.rvq, codes)  # (B, D, F)
-        latent = latent.astype(params["downsample"]["w"].dtype)
+        # dtype from the DECODER-side weights: a decode-only param tree
+        # has no encoder keys, and mixed-precision trees would otherwise
+        # run the decoder at the encoder's dtype
+        latent = latent.astype(params["upsample"]["w"].dtype)
         latent = self.upsample.apply(params["upsample"], latent)  # (B, D, T25)
         B = latent.shape[0]
         h, _ = codec_transformer_forward(
@@ -169,7 +200,7 @@ class Mimi:
         """Chunked decode with carried state: chaining chunks ==
         offline decode of the concatenation (tested property)."""
         latent = split_rvq_decode(params["quantizer"], self.cfg.rvq, codes)
-        latent = latent.astype(params["downsample"]["w"].dtype)
+        latent = latent.astype(params["upsample"]["w"].dtype)
         latent, up_st = self.upsample.apply_streaming(
             params["upsample"], latent, state.upsample
         )

@@ -95,6 +95,14 @@ def split_rvq_encode(params: dict, cfg: RVQConfig, latent: jnp.ndarray, num_code
     ``mimi.set_num_codebooks(K)`` semantics (reference generator.py:54)
     via the ``num_codebooks`` cap.
     """
+    total = cfg.n_q_semantic + cfg.n_q_acoustic
+    if not cfg.n_q_semantic <= num_codebooks <= total:
+        # _rvq_encode's cb[:n_q] slice would silently CLAMP an oversized
+        # request and return fewer codebooks than asked
+        raise ValueError(
+            f"num_codebooks={num_codebooks} outside "
+            f"[{cfg.n_q_semantic}, {total}] for this RVQ config"
+        )
     x = latent.transpose(0, 2, 1)  # (B, F, D)
     sem = _rvq_encode(params["semantic"], x, cfg.n_q_semantic)
     ac = _rvq_encode(params["acoustic"], x, num_codebooks - cfg.n_q_semantic)

@@ -103,7 +103,7 @@ class SEANetEncoder:
     def apply(self, params: list, x: jnp.ndarray) -> jnp.ndarray:
         """(B, 1, T) → (B, dimension, T/hop)."""
         for spec, p in zip(self.specs, params):
-            if spec[0] == "conv":
+            if spec[0] in ("conv", "convtr"):
                 x = spec[1].apply(p, x)
             elif spec[0] == "elu":
                 x = _elu(x)
@@ -128,7 +128,7 @@ class SEANetEncoder:
     def apply_streaming(self, params: list, x: jnp.ndarray, state: list):
         new_states = []
         for spec, p, st in zip(self.specs, params, state):
-            if spec[0] == "conv":
+            if spec[0] in ("conv", "convtr"):
                 x, nst = spec[1].apply_streaming(p, x, st)
                 new_states.append(nst)
             elif spec[0] == "elu":
@@ -166,41 +166,9 @@ class SEANetDecoder:
         self.specs.append(("elu",))
         self.specs.append(("conv", CausalConv1d(cfg.n_filters, cfg.channels, cfg.last_kernel_size)))
 
-    # init/apply/streaming share the encoder's traversal logic
+    # the whole traversal (init/state/apply/streaming) is the encoder's —
+    # the decoder differs only in its spec list, built in __init__
     init = SEANetEncoder.init
     init_state = SEANetEncoder.init_state
-
-    def apply(self, params: list, x: jnp.ndarray) -> jnp.ndarray:
-        """(B, dimension, F) → (B, 1, F*hop)."""
-        for spec, p in zip(self.specs, params):
-            if spec[0] == "conv":
-                x = spec[1].apply(p, x)
-            elif spec[0] == "convtr":
-                x = spec[1].apply(p, x)
-            elif spec[0] == "elu":
-                x = _elu(x)
-            else:
-                y = x
-                for s, sp in zip(spec[1], p):
-                    y = s.apply(sp, _elu(y))
-                x = x + y
-        return x
-
-    def apply_streaming(self, params: list, x: jnp.ndarray, state: list):
-        new_states = []
-        for spec, p, st in zip(self.specs, params, state):
-            if spec[0] in ("conv", "convtr"):
-                x, nst = spec[1].apply_streaming(p, x, st)
-                new_states.append(nst)
-            elif spec[0] == "elu":
-                x = _elu(x)
-                new_states.append(None)
-            else:
-                y = x
-                nsts = []
-                for s, sp, sst in zip(spec[1], p, st):
-                    y, nst = s.apply_streaming(sp, _elu(y), sst)
-                    nsts.append(nst)
-                x = x + y
-                new_states.append(nsts)
-        return x, new_states
+    apply = SEANetEncoder.apply
+    apply_streaming = SEANetEncoder.apply_streaming

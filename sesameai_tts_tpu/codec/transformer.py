@@ -161,7 +161,13 @@ def codec_transformer_forward(
         h = h + wl["ls1"] * (attn @ wl["out"])
 
         hn = _layer_norm(h, wl["norm2_w"], wl["norm2_b"], cfg.norm_eps)
-        ff = jax.nn.gelu((hn @ wl["lin1"]).astype(jnp.float32)).astype(h.dtype) @ wl["lin2"]
+        # exact (erf) gelu: the reference transformer uses torch F.gelu /
+        # ACT2FN["gelu"], not the tanh approximation jax.nn.gelu defaults
+        # to — the ~3e-3 per-activation deviation would compound across
+        # layers on converted real weights
+        ff = jax.nn.gelu(
+            (hn @ wl["lin1"]).astype(jnp.float32), approximate=False
+        ).astype(h.dtype) @ wl["lin2"]
         h = h + wl["ls2"] * ff
         return h, lk, lv if lk is not None else None, lkp
 

@@ -114,6 +114,16 @@ def _stack_trunk(
     }
 
 
+def _expect_shape(arr, shape: tuple, name: str, dtype) -> jnp.ndarray:
+    """Load a checkpoint tensor, failing loudly on a layout mismatch."""
+    if tuple(arr.shape) != tuple(shape):
+        raise ValueError(
+            f"{name}: checkpoint shape {tuple(arr.shape)} != expected "
+            f"{tuple(shape)} (wrong layout or incompatible config)"
+        )
+    return jnp.asarray(arr, dtype)
+
+
 def _is_orbax_dir(path: str) -> bool:
     """An orbax pytree dir (what ``save_pytree`` / the finetune CLI's
     ``<ckpt-dir>/params`` export writes), vs a hub-style weights dir."""
@@ -310,7 +320,16 @@ def load_mimi_checkpoint(path: str, mimi, dtype=jnp.float32) -> dict:
         "encoder_transformer": transformer_params("encoder_transformer.transformer"),
         "decoder_transformer": transformer_params("decoder_transformer.transformer"),
         "downsample": {"w": jnp.asarray(sd["downsample.conv.conv.weight"], dtype)},
-        "upsample": {"w": jnp.asarray(sd["upsample.convtr.convtr.weight"], dtype)},
+        # channel-wise (groups=dimension) upsample: real checkpoints ship
+        # (d, 1, 2s) — validate rather than silently loading a wrong
+        # layout into the grouped transposed conv
+        "upsample": {"w": _expect_shape(
+            sd["upsample.convtr.convtr.weight"],
+            (mimi.upsample.in_channels,
+             mimi.upsample.out_channels // mimi.upsample.groups,
+             mimi.upsample.kernel_size),
+            "upsample.convtr.convtr.weight", dtype,
+        )},
         "quantizer": {
             "semantic": rvq_params("quantizer.rvq_first", rvq.n_q_semantic),
             "acoustic": rvq_params("quantizer.rvq_rest", rvq.n_q_acoustic),

@@ -62,9 +62,13 @@ def test_causal_conv_is_causal():
     assert not np.allclose(np.asarray(y0[0, 0, 10:]), np.asarray(y1[0, 0, 10:]))
 
 
-@pytest.mark.parametrize("stride,kernel", [(2, 4), (4, 8), (5, 10)])
-def test_causal_convtr_streaming_matches_offline(stride, kernel):
-    spec = CausalConvTranspose1d(3, 2, kernel, stride=stride)
+@pytest.mark.parametrize("stride,kernel,groups", [
+    (2, 4, 1), (4, 8, 1), (5, 10, 1),
+    (2, 4, 3),  # channel-wise — the Mimi upsample layout
+])
+def test_causal_convtr_streaming_matches_offline(stride, kernel, groups):
+    c_out = 3 if groups == 3 else 2
+    spec = CausalConvTranspose1d(3, c_out, kernel, stride=stride, groups=groups)
     params = spec.init(jax.random.PRNGKey(0))
     x = jax.random.normal(jax.random.PRNGKey(1), (2, 3, 12))
 
@@ -246,7 +250,26 @@ def test_mimi_bf16_decode_close_to_f32(mimi):
         [np.asarray(w_a.astype(jnp.float32)), np.asarray(w_b.astype(jnp.float32))],
         axis=-1,
     )
-    np.testing.assert_allclose(stream, w16, atol=2e-2)
+    np.testing.assert_allclose(stream, w16, atol=3e-2)  # bf16 rounding;
+    # the EXACT streaming==offline property is asserted at f32 elsewhere
+
+
+def test_encode_rejects_overlong_and_bad_codebook_counts(mimi):
+    """Loud failures instead of silent clamps: latent positions past the
+    RoPE table raise at trace time (the gather would clamp and collapse
+    rotary angles), and an over-/under-sized num_codebooks raises
+    instead of returning fewer codebooks than asked."""
+    from sesameai_tts_tpu.codec.rvq import split_rvq_encode
+
+    m, params = mimi
+    too_long = (m.cfg.max_latent_positions + 1) * m.cfg.seanet.hop_length
+    with pytest.raises(ValueError, match="latent positions"):
+        m.encode(params, jnp.zeros((1, 1, too_long), jnp.float32))
+
+    latent = jnp.zeros((1, m.cfg.rvq.input_dim * 2, 4), jnp.float32)[:, : m.cfg.seanet.dimension]
+    total = m.cfg.rvq.n_q_semantic + m.cfg.rvq.n_q_acoustic
+    with pytest.raises(ValueError, match="num_codebooks"):
+        split_rvq_encode(params["quantizer"], m.cfg.rvq, latent, total + 1)
 
 
 def test_mimi_numerics_regression_pin(mimi):
@@ -271,6 +294,9 @@ def test_mimi_numerics_regression_pin(mimi):
     )
     recon = np.asarray(m.decode(params, codes)[0, 0], np.float32)
     snr = 10 * np.log10(float(np.sum(wav**2)) / float(np.sum((recon - wav) ** 2)))
-    # random weights -> negative "SNR"; the VALUE is the regression pin
-    assert abs(snr - (-4.0086)) < 0.05, f"codec numerics drifted: snr={snr:.4f}"
-    assert abs(float(recon.std()) - 0.494330) < 5e-4
+    # random weights -> negative "SNR"; the VALUE is the regression pin.
+    # Re-pinned when the decode architecture was CORRECTED to the real
+    # model (channel-wise upsample + exact-erf gelu); encode codes above
+    # were unaffected.
+    assert abs(snr - (-3.8657)) < 0.05, f"codec numerics drifted: snr={snr:.4f}"
+    assert abs(float(recon.std()) - 0.482449) < 5e-4

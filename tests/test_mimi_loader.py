@@ -78,7 +78,10 @@ def _synthetic_moshi_sd(mimi: Mimi, rng) -> dict:
     d = mimi.cfg.seanet.dimension
     s = mimi.cfg.downsample_stride
     sd["downsample.conv.conv.weight"] = rng.normal(size=(d, d, 2 * s)).astype(np.float32)
-    sd["upsample.convtr.convtr.weight"] = rng.normal(size=(d, d, 2 * s)).astype(np.float32)
+    # channel-wise upsample (kyutai "upsample bug"): torch ConvTranspose1d
+    # with groups=d stores (in, out/groups, K) = (d, 1, K) — the REAL
+    # checkpoint layout (transformers MimiConfig.upsample_groups=512)
+    sd["upsample.convtr.convtr.weight"] = rng.normal(size=(d, 1, 2 * s)).astype(np.float32)
     for prefix, n_q in (("quantizer.rvq_first", r.n_q_semantic),
                         ("quantizer.rvq_rest", r.n_q_acoustic)):
         sd[f"{prefix}.input_proj.weight"] = rng.normal(
