@@ -80,10 +80,20 @@ def conv_transpose1d(
 
 class ConvState(NamedTuple):
     buf: jnp.ndarray  # (B, C_in, pad) saved input tail
+    primed: jnp.ndarray  # (B,) bool: False until that row saw a chunk
+    # (consulted in replicate pad mode; BATCHED so slot-pool scatters can
+    # treat every state leaf as batch-on-axis-0, and per-slot resets
+    # re-prime independently.  No import-time jnp default — eager array
+    # creation at import would initialize a backend.)
 
 
 class CausalConv1d(NamedTuple):
-    """Static conv spec; params live in a dict {'w': ..., 'b': ...}."""
+    """Static conv spec; params live in a dict {'w': ..., 'b': ...}.
+
+    ``pad_mode``: 'zeros' (SEANet convs) or 'replicate' (the Mimi
+    downsample — kyutai pads it with the first sample, transformers
+    MimiConv1d pad_mode='replicate'); streaming replicate primes the
+    overlap buffer from the first chunk's first sample."""
 
     in_channels: int
     out_channels: int
@@ -92,6 +102,7 @@ class CausalConv1d(NamedTuple):
     dilation: int = 1
     groups: int = 1
     bias: bool = True
+    pad_mode: str = "zeros"
 
     @property
     def pad(self) -> int:  # left padding for causality
@@ -114,23 +125,36 @@ class CausalConv1d(NamedTuple):
 
     def apply(self, params: dict, x: jnp.ndarray) -> jnp.ndarray:
         """Offline causal conv over (B, C, T), T a multiple of stride."""
-        x = jnp.pad(x, ((0, 0), (0, 0), (self.pad, 0)))
+        mode = "edge" if self.pad_mode == "replicate" else "constant"
+        x = jnp.pad(x, ((0, 0), (0, 0), (self.pad, 0)), mode=mode)
         return conv1d(
             x, params["w"], params.get("b"), self.stride, self.dilation, self.groups
         )
 
     def init_state(self, batch: int, dtype=jnp.float32) -> ConvState:
-        return ConvState(buf=jnp.zeros((batch, self.in_channels, self.pad), dtype))
+        return ConvState(
+            buf=jnp.zeros((batch, self.in_channels, self.pad), dtype),
+            primed=jnp.zeros((batch,), bool),
+        )
 
     def apply_streaming(
         self, params: dict, x: jnp.ndarray, state: ConvState
     ) -> Tuple[jnp.ndarray, ConvState]:
-        xp = jnp.concatenate([state.buf.astype(x.dtype), x], axis=-1)
+        buf = state.buf.astype(x.dtype)
+        if self.pad_mode == "replicate" and self.pad > 0:
+            # the offline left pad replicates the FIRST sample; before any
+            # chunk arrived the saved tail is a placeholder — substitute
+            # this chunk's first sample, exactly the offline pad
+            buf = jnp.where(
+                state.primed[:, None, None], buf,
+                jnp.broadcast_to(x[:, :, :1], buf.shape),
+            )
+        xp = jnp.concatenate([buf, x], axis=-1)
         y = conv1d(
             xp, params["w"], params.get("b"), self.stride, self.dilation, self.groups
         )
         new_buf = xp[:, :, xp.shape[-1] - self.pad :] if self.pad > 0 else xp[:, :, :0]
-        return y, ConvState(buf=new_buf)
+        return y, ConvState(buf=new_buf, primed=jnp.ones_like(state.primed))
 
 
 class ConvTrState(NamedTuple):

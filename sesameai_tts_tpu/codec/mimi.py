@@ -89,7 +89,12 @@ class Mimi:
         self.decoder = SEANetDecoder(cfg.seanet)
         d = cfg.seanet.dimension
         s = cfg.downsample_stride
-        self.downsample = CausalConv1d(d, d, 2 * s, stride=s, bias=False)
+        # replicate-padded like the real model (transformers MimiConv1d
+        # builds the downsample with pad_mode='replicate'; zeros here
+        # flipped frame-0 acoustic codes vs the torch oracle)
+        self.downsample = CausalConv1d(
+            d, d, 2 * s, stride=s, bias=False, pad_mode="replicate"
+        )
         # the upsample is CHANNEL-WISE (groups=dimension) in the real
         # model — kyutai's historical "upsample bug", kept by every
         # published checkpoint (transformers MimiConfig.upsample_groups

@@ -214,10 +214,65 @@ def save_csm_checkpoint(path: str, params: dict) -> None:
 # ---------------------------------------------------------------------------
 
 
+def _hf_mimi_to_moshi_keys(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """transformers MimiModel naming → moshi naming (the layout the
+    mapping below consumes).  Both exist in the wild: kyutai publishes
+    moshi-layout weights, HF hub hosts the transformers port — this
+    loader accepts either.  The remap is validated numerically by
+    tests/test_mimi_oracle.py (codes bit-exact vs torch MimiModel)."""
+    out: Dict[str, np.ndarray] = {}
+    n_layers = 0
+    for k in sd:
+        if k.startswith("encoder_transformer.layers."):
+            n_layers = max(n_layers, int(k.split(".")[2]) + 1)
+    for k, v in sd.items():
+        for side in ("encoder", "decoder"):
+            if k.startswith(f"{side}.layers."):
+                rest = k[len(f"{side}.layers."):]
+                idx, sub = rest.split(".", 1)
+                if sub.startswith("block."):
+                    j, tail = sub[len("block."):].split(".", 1)
+                    out[f"{side}.model.{idx}.block.{j}.conv.{tail}"] = v
+                else:
+                    out[f"{side}.model.{idx}.conv.{sub}"] = v
+    for side in ("encoder_transformer", "decoder_transformer"):
+        for i in range(n_layers):
+            p, o = f"{side}.layers.{i}", f"{side}.transformer.layers.{i}"
+            out[f"{o}.self_attn.in_proj_weight"] = np.concatenate(
+                [sd[f"{p}.self_attn.q_proj.weight"],
+                 sd[f"{p}.self_attn.k_proj.weight"],
+                 sd[f"{p}.self_attn.v_proj.weight"]], 0
+            )
+            out[f"{o}.self_attn.out_proj.weight"] = sd[f"{p}.self_attn.o_proj.weight"]
+            out[f"{o}.norm1.weight"] = sd[f"{p}.input_layernorm.weight"]
+            out[f"{o}.norm1.bias"] = sd[f"{p}.input_layernorm.bias"]
+            out[f"{o}.norm2.weight"] = sd[f"{p}.post_attention_layernorm.weight"]
+            out[f"{o}.norm2.bias"] = sd[f"{p}.post_attention_layernorm.bias"]
+            out[f"{o}.linear1.weight"] = sd[f"{p}.mlp.fc1.weight"]
+            out[f"{o}.linear2.weight"] = sd[f"{p}.mlp.fc2.weight"]
+            out[f"{o}.layer_scale_1.scale"] = sd[f"{p}.self_attn_layer_scale.scale"]
+            out[f"{o}.layer_scale_2.scale"] = sd[f"{p}.mlp_layer_scale.scale"]
+    out["downsample.conv.conv.weight"] = sd["downsample.conv.weight"]
+    out["upsample.convtr.convtr.weight"] = sd["upsample.conv.weight"]
+    for hf, mo in (("semantic_residual_vector_quantizer", "rvq_first"),
+                   ("acoustic_residual_vector_quantizer", "rvq_rest")):
+        out[f"quantizer.{mo}.input_proj.weight"] = sd[f"quantizer.{hf}.input_proj.weight"]
+        out[f"quantizer.{mo}.output_proj.weight"] = sd[f"quantizer.{hf}.output_proj.weight"]
+        n = sum(1 for k in sd
+                if k.startswith(f"quantizer.{hf}.layers.") and k.endswith("embed_sum"))
+        for i in range(n):
+            base = f"quantizer.{hf}.layers.{i}.codebook"
+            out[f"quantizer.{mo}.vq.layers.{i}._codebook.embedding_sum"] = sd[f"{base}.embed_sum"]
+            out[f"quantizer.{mo}.vq.layers.{i}._codebook.cluster_usage"] = sd[f"{base}.cluster_usage"]
+    return out
+
+
 def load_mimi_checkpoint(path: str, mimi, dtype=jnp.float32) -> dict:
-    """moshi Mimi state_dict → codec/mimi.py pytree (best-effort mapping;
-    bit-level fidelity against real kyutai weights is pending a weights-
-    available environment — structure/shape mismatches raise loudly).
+    """Mimi state_dict (moshi OR transformers layout, auto-detected) →
+    codec/mimi.py pytree.  The mapping + topology are oracle-verified:
+    encode codes match torch MimiModel bit-exactly and decode PCM to
+    ~1e-5 relative on converted weights (tests/test_mimi_oracle.py);
+    structure/shape mismatches raise loudly.
 
     Mapping strategy:
       * SEANet conv stacks: the checkpoint's ``encoder.model.*`` /
@@ -231,6 +286,8 @@ def load_mimi_checkpoint(path: str, mimi, dtype=jnp.float32) -> dict:
     import re
 
     sd = _read_state_dict(path)
+    if any(k.startswith("encoder.layers.") for k in sd):
+        sd = _hf_mimi_to_moshi_keys(sd)  # transformers MimiModel layout
 
     def seanet_params(prefix: str, module) -> list:
         # collect conv/convtr weights in sequential-index order

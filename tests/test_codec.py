@@ -289,14 +289,15 @@ def test_mimi_numerics_regression_pin(mimi):
     np.testing.assert_array_equal(
         np.asarray(codes)[0, :, :4],
         np.array([[3, 29, 3, 29], [27, 19, 20, 19], [0, 2, 23, 2],
-                  [12, 11, 25, 11], [21, 7, 29, 7], [10, 11, 16, 11],
-                  [3, 3, 1, 3], [2, 26, 6, 26]]),
+                  [12, 11, 25, 11], [21, 7, 29, 7], [25, 11, 16, 11],
+                  [20, 3, 1, 3], [2, 26, 6, 26]]),
     )
     recon = np.asarray(m.decode(params, codes)[0, 0], np.float32)
     snr = 10 * np.log10(float(np.sum(wav**2)) / float(np.sum((recon - wav) ** 2)))
     # random weights -> negative "SNR"; the VALUE is the regression pin.
-    # Re-pinned when the decode architecture was CORRECTED to the real
-    # model (channel-wise upsample + exact-erf gelu); encode codes above
-    # were unaffected.
-    assert abs(snr - (-3.8657)) < 0.05, f"codec numerics drifted: snr={snr:.4f}"
-    assert abs(float(recon.std()) - 0.482449) < 5e-4
+    # Re-pinned when the architecture was CORRECTED to the real model
+    # (channel-wise upsample, exact-erf gelu, replicate-padded
+    # downsample) — the corrected topology is oracle-verified bit-exact
+    # on codes vs the torch reference (test_mimi_oracle.py).
+    assert abs(snr - (-3.7859)) < 0.05, f"codec numerics drifted: snr={snr:.4f}"
+    assert abs(float(recon.std()) - 0.474057) < 5e-4
