@@ -85,6 +85,46 @@ def test_decode_pcm_matches_torch(oracle):
     np.testing.assert_allclose(wav_j[:n] / scale, wav_t[:n] / scale, atol=1e-4)
 
 
+def test_flagship_dims_encode_codes_bit_exact(tmp_path):
+    """One oracle pass at the REAL config (512-dim, 8-layer transformer,
+    2048-bin RVQ, hop 1920): a parity failure that only appears at
+    flagship dimensions cannot ship.  Kept small: 4 codec frames."""
+    from transformers.models.mimi import MimiConfig, MimiModel
+    from safetensors.numpy import save_file
+    from sesameai_tts_tpu.codec.mimi import MimiConfig as MyMimiConfig
+
+    torch.manual_seed(0)
+    hf = MimiModel(MimiConfig(use_cache=False)).eval()  # published defaults
+    with torch.no_grad():
+        for q in (hf.quantizer.semantic_residual_vector_quantizer,
+                  hf.quantizer.acoustic_residual_vector_quantizer):
+            for layer in q.layers:
+                layer.codebook.embed_sum.normal_()
+                layer.codebook.cluster_usage.fill_(1.0)
+                layer.codebook.initialized.fill_(True)
+    path = str(tmp_path / "hf_full.safetensors")
+    save_file({k: v.detach().numpy() for k, v in hf.state_dict().items()}, path)
+
+    mine = Mimi(MyMimiConfig())  # our flagship defaults — must coincide
+    params = load_mimi_checkpoint(path, mine)
+
+    rng = np.random.default_rng(0)
+    wav = (rng.normal(size=4 * 1920) * 0.1).astype(np.float32)
+    with torch.no_grad():
+        codes_t = hf.encode(torch.from_numpy(wav)[None, None]).audio_codes
+    codes_j = np.asarray(mine.encode(params, jnp.asarray(wav)[None, None]))
+    assert codes_j.shape == (1, 32, 4)
+    np.testing.assert_array_equal(codes_j[0], codes_t.numpy()[0])
+
+    codes = rng.integers(0, 2048, size=(1, 32, 4)).astype(np.int64)
+    with torch.no_grad():
+        wav_t = hf.decode(torch.from_numpy(codes)).audio_values.numpy()[0, 0]
+    wav_j = np.asarray(mine.decode(params, jnp.asarray(codes, jnp.int32)))[0, 0]
+    n = min(len(wav_j), len(wav_t))
+    scale = np.abs(wav_t).max() + 1e-9
+    np.testing.assert_allclose(wav_j[:n] / scale, wav_t[:n] / scale, atol=2e-4)
+
+
 def test_streaming_decode_matches_torch_offline(oracle):
     """Chunked JAX decode (carried conv/transformer state) lands on the
     torch OFFLINE result — the property serving actually relies on."""
