@@ -65,6 +65,15 @@ class RollingContext:
 
     def append(self, pair: TokenPair) -> None:
         """Add a finished dialog segment (user or assistant turn)."""
+        if self.prefix_rows + _rows(pair) > self.budget:
+            # eviction would silently pop the JUST-APPENDED turn and the
+            # caller would believe it was recorded (pin_prefix raises for
+            # the analogous oversized-prefix case)
+            raise ValueError(
+                f"segment ({_rows(pair)} rows) cannot fit the context "
+                f"budget ({self.budget} minus {self.prefix_rows} pinned); "
+                f"split it or raise max_positions"
+            )
         self._window.append(pair)
         self._evict()
 

@@ -56,10 +56,18 @@ def _next_bucket(n: int, buckets: Sequence[int], room: Optional[int] = None) -> 
     """Smallest bucket ≥ n; capped to ``room`` (slots left in the KV cache)
     so a padded prefill can never write past the cache end —
     ``dynamic_update_slice`` CLAMPS out-of-range starts, which would
-    silently shift the write window onto earlier (real) slots."""
+    silently shift the write window onto earlier (real) slots.
+
+    When the bucket would spill past ``room`` (a long cached context
+    eating most of the cache), fall back to the largest 64-multiple that
+    still fits: clamping to the EXACT room would mint a fresh padded
+    shape — and a minutes-long remote compile — per context length."""
     for b in buckets:
         if n <= b:
-            return b if room is None else min(b, room)
+            if room is None or b <= room:
+                return b
+            q = (room // 64) * 64
+            return q if q >= n else room
     raise ValueError(f"Inputs too long, must be below max_seq_len: {n} > {buckets[-1]}")
 
 

@@ -104,31 +104,25 @@ class BatchedTTSServer:
     def __init__(self, generator: Generator, slots: int = 4,
                  chunk_frames: int = 10):
         # the tick runs ONE fused program over model + codec; a
-        # codec_device split would hand it mixed-device inputs
-        assert getattr(generator, "_codec_device", None) is None, (
-            "BatchedTTSServer needs a single-device (or mesh) generator; "
-            "the codec_device stage split applies to streaming generation"
-        )
+        # codec_device split would hand it mixed-device inputs.
+        # A real raise, not an assert — python -O would otherwise let the
+        # first tick fail with an opaque mixed-device placement error
+        if getattr(generator, "_codec_device", None) is not None:
+            raise ValueError(
+                "BatchedTTSServer needs a single-device (or mesh) generator; "
+                "the codec_device stage split applies to streaming generation"
+            )
         self.gen = generator
         self.B = slots
         self.chunk = chunk_frames
-        cfg = generator._cfg
-        # dp-sharded when the generator runs on a mesh: the slot pool's
-        # batch axis spreads across chips (multi-chip batched serving)
-        self._state = generator._init_state(slots)
-        self._prev_frame = jnp.zeros((slots, cfg.audio_num_codebooks), jnp.int32)
-        self._done = jnp.ones((slots,), bool)  # all slots idle (=done)
         self._budget = np.zeros(slots, np.int64)  # frames left per slot
         self._temperature = np.ones(slots, np.float32)
         self._topk = np.ones(slots, np.int32)
         self._sessions: List[Optional[Session]] = [None] * slots
-        # ONE batched Mimi decode state: every tick runs codec decode for
-        # all B slots in the same fused program as the AR decode (idle
-        # slots chew zero frames — harmless, reset on attach)
-        self._mimi_state = generator._mimi.init_decode_state(
-            slots, generator._mimi_dtype
-        )
+        self._reset_pool_state()
         self._pending: "queue.Queue[Session]" = queue.Queue()
+        # (device pool state lives in _reset_pool_state so the tick-loop
+        # recovery path can rebuild it after a failed donated dispatch)
         # admissions in flight on the worker thread (prefill running or
         # result waiting for a slot): the tick loop shrinks its dispatch
         # chunks while this is non-zero so the prefill doesn't queue
@@ -142,6 +136,26 @@ class BatchedTTSServer:
         self._lock = threading.Lock()
         self._inflight = None  # lag-1 dispatched tick awaiting fetch
         self._running = False
+
+    def _reset_pool_state(self) -> None:
+        """(Re)allocate the batched device state.  Called at construction
+        AND by the tick-loop recovery: a failed dispatch may have consumed
+        its donated inputs, leaving self._state/_mimi_state as deleted
+        buffers that would poison every later attach."""
+        generator = self.gen
+        cfg = generator._cfg
+        slots = self.B
+        # dp-sharded when the generator runs on a mesh: the slot pool's
+        # batch axis spreads across chips (multi-chip batched serving)
+        self._state = generator._init_state(slots)
+        self._prev_frame = jnp.zeros((slots, cfg.audio_num_codebooks), jnp.int32)
+        self._done = jnp.ones((slots,), bool)  # all slots idle (=done)
+        # ONE batched Mimi decode state: every tick runs codec decode for
+        # all B slots in the same fused program as the AR decode (idle
+        # slots chew zero frames — harmless, reset on attach)
+        self._mimi_state = generator._mimi.init_decode_state(
+            slots, generator._mimi_dtype
+        )
         # structured observability (SURVEY.md §5: the reference has only
         # ad-hoc prints): TTFA distribution + counters for /metrics
         from sesameai_tts_tpu.utils.profiling import Metrics
@@ -218,6 +232,10 @@ class BatchedTTSServer:
     # -- public API -----------------------------------------------------------
 
     def submit(self, text: str, **kw) -> Session:
+        if not self._running:
+            # before start() / after stop() no thread would ever consume
+            # the queue — the session's listener would block forever
+            raise RuntimeError("server is not running (call start())")
         s = Session(text=text, **kw)
         with self._lock:  # submit() is called from arbitrary threads
             self._sessions_total += 1
@@ -281,6 +299,19 @@ class BatchedTTSServer:
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
+    def _terminate_queued(self, err: Exception) -> None:
+        """Drain _pending/_ready, erroring every queued session (shared
+        by stop() and any path that must fail the backlog)."""
+        for q in (self._pending, self._ready):
+            while True:
+                try:
+                    item = q.get_nowait()
+                except queue.Empty:
+                    break
+                s = item if isinstance(item, Session) else item[0]
+                s.error = err
+                s.chunks.put(None)
+
     def stop(self):
         self._running = False
         if self._thread:
@@ -291,15 +322,9 @@ class BatchedTTSServer:
         # when the threads exit must observe termination — a listener
         # blocked in audio() with no timeout would otherwise hang forever.
         err = RuntimeError("server stopped")
-        for q in (self._pending, self._ready):
-            while True:
-                try:
-                    item = q.get_nowait()
-                except queue.Empty:
-                    break
-                s = item if isinstance(item, Session) else item[0]
-                s.error = err
-                s.chunks.put(None)
+        self._terminate_queued(err)
+        time.sleep(0.05)  # a submit() that raced the _running flip
+        self._terminate_queued(err)
         for slot in range(self.B):
             s = self._sessions[slot]
             if s is not None:
@@ -428,31 +453,35 @@ class BatchedTTSServer:
                 self._tick(gen)
             except Exception as e:  # never die silently: unblock all sessions
                 self._inflight = None
+                # slot-attached sessions are genuinely lost: their KV/codec
+                # state lived in the (possibly donated-and-consumed) pool
+                # buffers.  Host-only cleanup — a dead backend must not
+                # kill the recovery path too.
                 for slot in range(self.B):
                     s = self._sessions[slot]
                     if s is not None:
                         s.error = e
-                        try:
-                            self._finish(slot)  # _mark_done is a device op —
-                        except Exception:  # a dead backend must not kill the
-                            # recovery path too; host-only cleanup so no
-                            # listener stays blocked on chunks
-                            if self._sessions[slot] is not None:
-                                self._finish_session(s)
-                            self._sessions[slot] = None
-                            self._budget[slot] = 0
-                for q in (self._pending, self._ready):
-                    while not q.empty():
-                        try:
-                            item = q.get_nowait()
-                        except queue.Empty:
-                            break
-                        s = item if isinstance(item, Session) else item[0]
-                        s.error = e
-                        s.chunks.put(None)
+                        self._finish_session(s)
+                        self._sessions[slot] = None
+                    self._budget[slot] = 0
                 import logging
 
                 logging.getLogger(__name__).exception("serving tick failed")
+                # the failed dispatch may have consumed its donated inputs;
+                # rebuild the pool state or every later attach would die on
+                # deleted buffers.  _pending/_ready sessions survive: their
+                # B=1 states are independent of the pool and the admission
+                # thread is still healthy — a transient remote-service
+                # hiccup (documented: retry) must not 500 the whole backlog
+                try:
+                    self._reset_pool_state()
+                except Exception:
+                    # backend is truly gone: now the backlog cannot ever be
+                    # served — fail it instead of hanging listeners
+                    logging.getLogger(__name__).exception(
+                        "pool-state rebuild failed; failing queued sessions"
+                    )
+                    self._terminate_queued(e)
                 time.sleep(0.1)
         # drain the last dispatched tick so final chunks reach listeners
         if self._inflight is not None:

@@ -91,21 +91,25 @@ def generate_streaming_audio(
     print("Generating audio in streaming mode...")
     start_time = time.time()
     chunk_count = 0
-    for _ in generator.generate_stream(
-        text=text,
-        speaker=speaker,
-        context=context,
-        max_audio_length_ms=max_audio_length_ms,
-        temperature=temperature,
-        topk=topk,
-        on_chunk_generated=on_chunk_generated,
-        chunk_frames=chunk_frames,
-    ):
-        chunk_count += 1
-
-    writer.write_file()
-    if play_audio and player_thread is not None:
-        stop_event.set()
-        player_thread.join()
+    try:
+        for _ in generator.generate_stream(
+            text=text,
+            speaker=speaker,
+            context=context,
+            max_audio_length_ms=max_audio_length_ms,
+            temperature=temperature,
+            topk=topk,
+            on_chunk_generated=on_chunk_generated,
+            chunk_frames=chunk_frames,
+        ):
+            chunk_count += 1
+    finally:
+        # a mid-stream failure must still flush the audio already
+        # collected and retire the player thread — discarding minutes of
+        # generated audio over a final-chunk fetch error helps no one
+        writer.write_file()
+        if play_audio and player_thread is not None:
+            stop_event.set()
+            player_thread.join()
     print(f"Audio generation completed in {time.time() - start_time:.2f} seconds")
     return chunk_count

@@ -47,6 +47,16 @@ def test_rolling_context_prefix_too_big():
         ctx.append(_pair(10))
 
 
+def test_rolling_context_oversized_segment_raises():
+    """A segment that can never fit must raise, not silently vanish
+    (eviction used to pop the just-appended turn and return normally)."""
+    ctx = RollingContext(max_positions=300, generation_budget=100, text_budget=50)
+    with pytest.raises(ValueError, match="cannot fit"):
+        ctx.append(_pair(200))
+    ctx.append(_pair(40))  # a fitting segment still works
+    assert ctx.window_rows == 40
+
+
 # ---------------------------------------------------------------------------
 # llm client
 # ---------------------------------------------------------------------------

@@ -32,6 +32,41 @@ def test_concurrent_sessions_complete(server):
         assert audio.shape[0] == total_frames * hop
 
 
+def test_submit_requires_running_server():
+    """submit() on a stopped server raises instead of queueing a session
+    no thread will ever terminate (listener would block forever)."""
+    from sesameai_tts_tpu.runtime.loader import build_generator
+    from sesameai_tts_tpu.runtime.loader import test_tiny_spec as _tiny
+
+    gen = build_generator(_tiny(), decode_chunk_frames=4)
+    srv = BatchedTTSServer(gen, slots=1, chunk_frames=4)
+    with pytest.raises(RuntimeError, match="not running"):
+        srv.submit("never served")
+    srv.start()
+    s = srv.submit("short", max_audio_length_ms=480, temperature=0.8, topk=5)
+    assert s.audio(timeout=300).ndim == 1
+    srv.stop()
+    with pytest.raises(RuntimeError, match="not running"):
+        srv.submit("after stop")
+
+
+def test_next_bucket_room_quantized():
+    """Room-clamped prefill sizes quantize to 64-multiples: the exact
+    remaining room would mint a fresh shape (a minutes-long remote
+    compile) per cached-context length."""
+    from sesameai_tts_tpu.runtime.generator import _next_bucket
+
+    buckets = [64, 128, 256, 512]
+    assert _next_bucket(80, buckets) == 128
+    assert _next_bucket(80, buckets, room=512) == 128  # bucket fits room
+    assert _next_bucket(80, buckets, room=130) == 128  # bucket fits room
+    # bucket 256 spills a 200-row room → largest 64-multiple ≥ n: 192
+    assert _next_bucket(129, buckets, room=200) == 192
+    # 64-multiple (64) < n → exact room as the last resort
+    assert _next_bucket(80, buckets, room=98) == 98
+    assert _next_bucket(80, buckets, room=127) == 127
+
+
 def test_synthesize_batch_order_and_errors(server):
     """synthesize_batch returns PCM in input order, and an over-long
     text raises only after the healthy utterances were collected."""
