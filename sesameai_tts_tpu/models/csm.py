@@ -28,7 +28,7 @@ from typing import NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from sesameai_tts_tpu.core.config import CSMConfig, get_flavor
+from sesameai_tts_tpu.core.config import CSMConfig
 from sesameai_tts_tpu.models.transformer import (
     KVCache,
     init_kv_cache,
@@ -150,7 +150,7 @@ def _decode_codebooks(
     unrolled = is_unstacked(params["decoder"])
 
     dec_cache = init_kv_cache(dec, B, dtype, max_seq_len=K, unstacked=unrolled)
-    rope_cs = precompute_rope(dec)
+    rope_cs = precompute_rope(dec, max_len=K)  # decoder positions are 0..K-1
 
     def dec_step(cache, x, pos):
         h, cache = transformer_forward(
@@ -273,7 +273,11 @@ def generate_frame(
         last_h = h[:, -1, :]
         new_pos = state.pos + S
     else:
-        last_h = jnp.take_along_axis(h, (valid_len - 1)[:, None, None], axis=1)[:, 0]
+        # clamp: a valid_len=0 row (idle slot in a batched prefill) would
+        # gather at -1; its output is meaningless either way, but must be
+        # a defined row, not a wrapped one
+        idx = jnp.maximum(valid_len - 1, 0)
+        last_h = jnp.take_along_axis(h, idx[:, None, None], axis=1)[:, 0]
         new_pos = state.pos + valid_len
 
     k0, k_rest = jax.random.split(key)

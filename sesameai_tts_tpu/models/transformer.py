@@ -65,10 +65,14 @@ def _scaled_rope_freqs(cfg: RoPEConfig, head_dim: int) -> jnp.ndarray:
     return freqs  # (head_dim/2,) f32
 
 
-def precompute_rope(cfg: TransformerConfig) -> jnp.ndarray:
-    """Returns (max_seq_len, head_dim/2, 2) [cos, sin] table in f32."""
+def precompute_rope(cfg: TransformerConfig, max_len: Optional[int] = None) -> jnp.ndarray:
+    """Returns (max_len or max_seq_len, head_dim/2, 2) [cos, sin] f32.
+
+    ``max_len`` trims the table to the positions actually used — the CSM
+    decoder only ever sees positions 0..K-1, so tracing its full 2048-row
+    table into every frame program is pure constant bloat."""
     freqs = _scaled_rope_freqs(cfg.rope, cfg.head_dim)
-    t = jnp.arange(cfg.max_seq_len, dtype=jnp.float32)
+    t = jnp.arange(max_len or cfg.max_seq_len, dtype=jnp.float32)
     angles = t[:, None] * freqs[None, :]  # (T, hd/2)
     return jnp.stack([jnp.cos(angles), jnp.sin(angles)], axis=-1)
 
@@ -240,8 +244,14 @@ def _attention(
         "bkgsh,bkth->bkgst", q, k, preferred_element_type=jnp.float32
     )
     logits = logits * scale
-    logits = jnp.where(mask[:, None, None, :, :], logits, -jnp.inf)
+    m = mask[:, None, None, :, :]
+    logits = jnp.where(m, logits, -jnp.inf)
     probs = jax.nn.softmax(logits, axis=-1)
+    # a fully-masked query row (e.g. a batched prefill row with
+    # valid_len=0) softmaxes all--inf to NaN; zero it so an idle row
+    # yields a finite (if meaningless) hidden state instead of NaNs that
+    # poison everything downstream
+    probs = jnp.where(jnp.any(m, axis=-1, keepdims=True), probs, 0.0)
     out = jnp.einsum(
         "bkgst,bkth->bkgsh", probs.astype(v.dtype), v,
         preferred_element_type=jnp.float32,

@@ -110,63 +110,12 @@ def _dequant4(w: dict, dtype=jnp.bfloat16) -> jnp.ndarray:
 
 
 # ---------------------------------------------------------------------------
-# Native-s4 variant: storage dtype jnp.int4 (XLA packs 2/byte), the
-# convert to bf16 is a single hardware op — same kernel shape as int8
-# with half the HBM bytes.  Scales: per-(half, channel) — two dots.
-# ---------------------------------------------------------------------------
-
-
-def quantize_weight_int4n(w: jnp.ndarray) -> dict:
-    """(in, out) float → {"qn": int4 (in, out), "scale": f32 (2, out)}
-    with independent scales for the two row halves."""
-    wf = jnp.asarray(w, jnp.float32)
-    D, F = wf.shape
-    gw = wf.reshape(2, D // 2, F)
-    scale = jnp.max(jnp.abs(gw), axis=1) / 7.0  # (2, F)
-    scale = jnp.maximum(scale, 1e-8)
-    q = jnp.clip(jnp.round(gw / scale[:, None, :]), -8, 7)
-    return {"qn": q.reshape(D, F).astype(jnp.int4), "scale": scale}
-
-
-def _dequant4n(w: dict, dtype=jnp.bfloat16) -> jnp.ndarray:
-    q = w["qn"].astype(jnp.float32)
-    D, F = q.shape
-    return (q.reshape(2, D // 2, F) * w["scale"][:, None, :]).reshape(D, F).astype(dtype)
-
-
-def _q4n_kernel(x_ref, q_ref, s_ref, o_ref):
-    w = q_ref[:].astype(jnp.bfloat16)  # (D, bf) — native s4→bf16 convert
-    x = x_ref[:]
-    D2 = w.shape[0] // 2
-    a_lo = jax.lax.dot(x[:, :D2], w[:D2], preferred_element_type=jnp.float32)
-    a_hi = jax.lax.dot(x[:, D2:], w[D2:], preferred_element_type=jnp.float32)
-    o_ref[:] = (a_lo * s_ref[0] + a_hi * s_ref[1]).astype(o_ref.dtype)
-
-
-@functools.partial(jax.jit, static_argnames=("block_f",))
-def quant4n_matmul_pallas(x: jnp.ndarray, qn: jnp.ndarray, scale: jnp.ndarray,
-                          block_f: int = 512) -> jnp.ndarray:
-    from jax.experimental import pallas as pl
-    from jax.experimental.pallas import tpu as pltpu
-
-    S, D = x.shape
-    _, F = qn.shape
-    nf = F // block_f
-    assert nf * block_f == F
-
-    return pl.pallas_call(
-        _q4n_kernel,
-        grid=(nf,),
-        in_specs=[
-            pl.BlockSpec((S, D), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((D, block_f), lambda i: (0, i), memory_space=pltpu.VMEM),
-            pl.BlockSpec((2, block_f), lambda i: (0, i), memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((S, block_f), lambda i: (0, i), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((S, F), x.dtype),
-    )(x, qn, scale)
-
-
+# (A native-s4 jnp.int4 storage variant lived here through round 3.  It
+# was DELETED after measurement: this platform crashes on jnp.int4
+# arrays outside a single jit (RecursionError in eager device_put and at
+# every jit boundary), and the s4 pallas matvec measured 3.2× SLOWER
+# than int8 — no fast s4→bf16 path in this Mosaic.  See CLAUDE.md
+# "int4 in ALL forms loses to int8 here; stop retrying".)
 # ---------------------------------------------------------------------------
 # Pallas kernel: x (S, D) bf16 @ Wq (D, F) int8·scale → (S, F)
 # ---------------------------------------------------------------------------
@@ -405,23 +354,6 @@ def qdot(x: jnp.ndarray, w: Union[jnp.ndarray, dict]) -> jnp.ndarray:
     x).  An f32 caller gets f32 back, but not f32 dot precision — same
     contract across int8/int4/int4n.
     """
-    if isinstance(w, dict) and "qn" in w:
-        lead = x.shape[:-1]
-        D = x.shape[-1]
-        F = w["qn"].shape[-1]
-        S = int(np.prod(lead)) if lead else 1
-        if (
-            S <= 64 and D >= 256 and F >= 512
-            and jax.default_backend() not in ("cpu",)
-            and _block_f_for(F, D) > 0
-        ):
-            out = quant4n_matmul_pallas(
-                x.reshape(S, D).astype(jnp.bfloat16), w["qn"], w["scale"],
-                block_f=_block_f_for(F, D),
-            )
-            return out.reshape(*lead, F).astype(x.dtype)
-        return x @ _dequant4n(w, x.dtype)
-
     if is_quantized4(w):
         lead = x.shape[:-1]
         D = x.shape[-1]
@@ -464,9 +396,6 @@ def qdot(x: jnp.ndarray, w: Union[jnp.ndarray, dict]) -> jnp.ndarray:
     return x @ _dequant(w, x.dtype)
 
 
-_FUSED_MLP = os.environ.get("QUANT_FUSED_MLP", "0") == "1"
-
-
 def qmlp(x: jnp.ndarray, w13, w2) -> jnp.ndarray:
     """SwiGLU MLP against maybe-quantized weights: silu(x@W1)·(x@W3) @ W2.
 
@@ -482,7 +411,7 @@ def qmlp(x: jnp.ndarray, w13, w2) -> jnp.ndarray:
     opt-in for future shapes rather than the default.
     """
     fused_ok = (
-        _FUSED_MLP
+        os.environ.get("QUANT_FUSED_MLP", "0") == "1"
         and is_quantized(w13)
         and is_quantized(w2)
         and w13["q"].ndim == 2
@@ -537,8 +466,6 @@ def dequantize_csm(params: dict, dtype=jnp.bfloat16) -> dict:
     def deq_leaf(w):
         if is_quantized4(w):
             return _dequant4(w, dtype)
-        if isinstance(w, dict) and "qn" in w:
-            return _dequant4n(w, dtype)
         if is_quantized(w):
             return _dequant(w, dtype)
         return w

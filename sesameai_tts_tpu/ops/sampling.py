@@ -50,8 +50,17 @@ def topk_threshold(logits: jnp.ndarray, k: int, iters: int = _DEFAULT_PHASES) ->
     (hi starts just above the max).  Returns lo with shape
     ``logits.shape[:-1] + (1,)``.
     """
-    lo = jnp.min(logits, axis=-1, keepdims=True)
-    hi = jnp.max(logits, axis=-1, keepdims=True)
+    # bracket over FINITE logits only: a -inf entry (vocab ban mask, bf16
+    # saturation) would make lo=-inf, every midpoint NaN, every compare
+    # False, and the returned threshold -inf — silently sampling the FULL
+    # vocabulary.  Banned tokens sit strictly below the finite bracket,
+    # so they are excluded without costing any search resolution.
+    finite = jnp.isfinite(logits)
+    lo = jnp.min(jnp.where(finite, logits, jnp.inf), axis=-1, keepdims=True)
+    hi = jnp.max(jnp.where(finite, logits, -jnp.inf), axis=-1, keepdims=True)
+    degenerate = ~jnp.isfinite(lo)  # all-banned row: keep a valid bracket
+    lo = jnp.where(degenerate, -1.0, lo)
+    hi = jnp.where(degenerate, 1.0, hi)
     # open the top bracket so count(>= hi) < k holds from the start
     hi = hi + 0.001 * (hi - lo) + 1e-6
 

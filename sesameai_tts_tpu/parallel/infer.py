@@ -52,8 +52,6 @@ def _leaf_specs(spec: P, leaf) -> object:
         return {"q": spec, "scale": _scale_spec(spec)}
     if isinstance(leaf, dict) and "q4" in leaf:
         return {"q4": P(), "scale": P()}
-    if isinstance(leaf, dict) and "qn" in leaf:
-        return {"qn": P(), "scale": P()}
     return spec
 
 

@@ -128,10 +128,10 @@ class Generator:
 
         def _any_quant(tree):
             return any(
-                isinstance(x, dict) and ("q" in x or "q4" in x or "qn" in x)
+                isinstance(x, dict) and ("q" in x or "q4" in x)
                 for x in jax.tree.leaves(
                     tree, is_leaf=lambda x: isinstance(x, dict) and (
-                        "q" in x or "q4" in x or "qn" in x
+                        "q" in x or "q4" in x
                     )
                 )
             )

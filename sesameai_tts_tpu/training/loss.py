@@ -110,7 +110,7 @@ def csm_loss(
 
     dh, _ = transformer_forward(
         params["decoder"], dec, dec_in, jnp.zeros((B * n,), jnp.int32), None,
-        precompute_rope(dec),
+        precompute_rope(dec, max_len=K),  # decoder positions are 0..K-1
     )
     dh = dh.reshape(B, n, K, dec.embed_dim)[:, :, 1:, :]  # positions 1..K-1
 

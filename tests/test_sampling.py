@@ -42,6 +42,24 @@ def test_never_samples_outside_topk():
     assert set(np.asarray(draws).tolist()) <= topset
 
 
+def test_banned_tokens_stay_banned_and_topk_holds():
+    """-inf logits (a vocab ban mask) must not poison the bracket search:
+    the unguarded version returned a -inf threshold and silently sampled
+    the FULL vocabulary."""
+    logits = jax.random.normal(jax.random.PRNGKey(4), (64,)) * 3.0
+    banned = np.zeros(64, bool)
+    banned[::3] = True  # ban a third of the vocab, incl. possibly the max
+    masked_logits = jnp.where(jnp.asarray(banned), -jnp.inf, logits)
+    k = 5
+    finite_top = set(
+        np.asarray(jax.lax.top_k(masked_logits, k)[1]).tolist()
+    )
+    keys = jax.random.split(jax.random.PRNGKey(5), 512)
+    draws = jax.vmap(lambda kk: sample_topk(kk, masked_logits, k, 1.0))(keys)
+    drawn = set(np.asarray(draws).tolist())
+    assert drawn <= finite_top  # never a banned token, never outside top-k
+
+
 @pytest.mark.parametrize("temperature,k", [(0.7, 10), (1.3, 5)])
 def test_chi_square_against_exact_distribution(temperature, k):
     V = 50
