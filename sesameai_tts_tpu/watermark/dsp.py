@@ -235,11 +235,14 @@ class Watermarker:
     Detection statistics: per (slot, value), scores are z-normalized
     correlations.  With a known expected message (the verify path,
     reference watermarking.py:43-59) the joint statistic
-    ``Σ_s z[s, key_s] / √5`` is N(0,1) under the null — threshold 4 ⇒
-    ~1e-4 false-positive rate (incl. the 4-offset alignment search), and ≈ z·√5 under embedding, so verify is
-    reliable at the default 36 dB strength.  Blind decode (no expected
-    message) takes per-slot argmax and thresholds the mean max-z against
-    the max-of-256 null (~2.9)."""
+    ``Σ_s z[s, key_s] / √5`` is N(0,1) under the null for ONE aligned
+    candidate; ``phase_shift_decoding=True`` maximizes over the 16-offset
+    × 11-row-phase search (176 correlated candidates), whose measured
+    null max sits around 3.0-3.7 — threshold 4.0 is calibrated against
+    THAT search null, not the single-candidate ~1e-4 point.  Marked
+    audio scores ≈ z·√5 ≫ 4 at the default strength on ≥3 s of content.
+    Blind decode (no expected message) takes per-slot argmax and
+    thresholds the mean max-z against the max-of-256 null (~2.9)."""
 
     def __init__(self, verify_threshold: float = 4.0, blind_threshold: float = 3.7):
         self.verify_threshold = verify_threshold
@@ -292,6 +295,12 @@ class Watermarker:
             phased = np.asarray(
                 _slot_scores_jit(jnp.asarray(xo), frames, jnp.int32(n_valid))
             )  # (P_TIME, N_BYTES, N_CODES)
+            if not phase_shift_decoding:
+                # aligned decode (reference phase_shift_decoding=False
+                # semantics): ONE candidate, the embed-time grid phase —
+                # maximizing over all 11 row phases would inflate the
+                # null by a max-of-11 factor and miscalibrate thresholds
+                phased = phased[:1]
             for scores in phased:
                 if expected_message is not None:
                     conf = float(

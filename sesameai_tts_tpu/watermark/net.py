@@ -388,13 +388,24 @@ def convert_silentcipher_state(
         "dec_c": _collect_stack(modules["dec_c"]),
     }
 
-    emb = None
-    for src in (modules.get("enc_m", {}), modules.get("msg_encoder", {})):
-        for k, v in src.items():
-            if k.endswith("weight") and np.ndim(v) == 2:
-                emb = np.asarray(v, np.float32)
-    if emb is None:
+    emb_cands = [
+        (f"{name}.{k}", np.asarray(v, np.float32))
+        for name, src in (("enc_m", modules.get("enc_m", {})),
+                          ("msg_encoder", modules.get("msg_encoder", {})))
+        for k, v in src.items()
+        if k.endswith("weight") and np.ndim(v) == 2
+    ]
+    if not emb_cands:
         raise ValueError("no message embedding table (enc_m.weight) in checkpoint")
+    if len(emb_cands) > 1:
+        # silently binding to whichever iterates last would derive vocab
+        # and n_bins from the wrong tensor with no diagnostic
+        raise ValueError(
+            "ambiguous message embedding: multiple 2-D weights "
+            f"{[n for n, _ in emb_cands]}; pass a checkpoint with exactly "
+            "one enc_m/msg_encoder embedding table"
+        )
+    emb = emb_cands[0][1]
     params["enc_m"] = jnp.asarray(emb)
 
     slot_sds = _split_slots(modules["dec_m"])
@@ -414,7 +425,16 @@ def convert_silentcipher_state(
         vocab=int(emb.shape[0]),
     )
     if emb.shape[1] != cfg.n_bins:
-        # the embedding's band size is authoritative for the STFT grid —
+        if "n_fft" in hp:
+            # the caller's explicit grid and the checkpoint's embedding
+            # width disagree — rewriting silently would embed on a wrong
+            # STFT grid the reference decoder cannot read
+            raise ValueError(
+                f"hparams n_fft={cfg.n_fft} implies {cfg.n_bins} bins but "
+                f"the message embedding spans {emb.shape[1]}; drop the "
+                f"override or fix it to {2 * (emb.shape[1] - 1)}"
+            )
+        # no explicit grid: the embedding's band size is authoritative —
         # a checkpoint without hparams pins n_fft through it
         cfg = replace(cfg, n_fft=2 * (emb.shape[1] - 1))
 
@@ -442,9 +462,21 @@ def load_silentcipher_checkpoint(path: str, hparams: Optional[dict] = None):
         cfg_path = os.path.abspath(path).rstrip("/") + ".config.json"
         with open(cfg_path) as f:
             raw_cfg = json.load(f)
-        if hparams:  # explicit overrides win, same as the torch-file path
-            raw_cfg.update(hparams)
         fields = {f.name for f in dataclasses.fields(SilentCipherConfig)}
+        if hparams:  # explicit overrides win, same as the torch-file path
+            # accept the torch-path key aliases too — the same hparams
+            # dict must mean the same thing for a file and its converted
+            # directory ('hop_length' silently no-oped here before)
+            mapped = {
+                {"hop_length": "hop"}.get(k, k): v for k, v in hparams.items()
+            }
+            unknown = set(mapped) - fields
+            if unknown:
+                raise ValueError(
+                    f"unknown hparams override(s) {sorted(unknown)}; valid "
+                    f"keys: {sorted(fields)} (or 'hop_length' for hop)"
+                )
+            raw_cfg.update(mapped)
         cfg = SilentCipherConfig(
             **{k: v for k, v in raw_cfg.items() if k in fields}
         )

@@ -84,7 +84,8 @@ class StreamingEmbedder:
 
     feed() accepts arbitrary sample counts and returns every sample whose
     OLA accumulation is complete; close() flushes the tail with the
-    offline edge policy (final ``_EDGE_FRAMES`` frames unmarked).
+    offline edge policy (mark cutoff at the offline frame BUCKET minus
+    ``_EDGE_FRAMES``, exactly as ``dsp._embed_jit`` applies it).
     """
 
     def __init__(self, message: List[int], message_sdr: float = 30.0):
@@ -173,18 +174,24 @@ class StreamingEmbedder:
         return self._emit_until(self._f_next * HOP)
 
     def close(self) -> np.ndarray:
-        """Process the remaining frames (final _EDGE_FRAMES unmarked) and
-        flush every remaining real sample."""
+        """Process the remaining frames and flush every remaining real
+        sample.  The mark cutoff is the OFFLINE bucket's (frames <
+        bucket - _EDGE_FRAMES, where offline pads full-window frame
+        counts to a power of two): cutting at the stream's own last
+        frame left the final ~80 ms unmarked relative to offline embed,
+        weakening short captured suffixes of the streamed output."""
         assert not self._closed
         self._closed = True
         L = self._n_in
         if L == 0:
             return np.zeros(0, np.float32)
         f_total = (L - 1) // HOP + 1  # every real sample covered 4×
+        nf_off = max(1, 1 + (L - N_FFT) // HOP) if L >= N_FFT else 1
+        bucket = 1 << (nf_off - 1).bit_length()  # dsp._pad_to_frames
         while self._f_next < f_total:
             f0 = self._f_next
             f = np.arange(f0, f0 + _FR)
-            mark = ((f >= _EDGE_FRAMES) & (f < f_total - _EDGE_FRAMES)).astype(
+            mark = ((f >= _EDGE_FRAMES) & (f < bucket - _EDGE_FRAMES)).astype(
                 np.float64
             )
             self._process_block(f0, _FR, mark, self._block_input(f0, _FR))
@@ -192,24 +199,24 @@ class StreamingEmbedder:
         return self._emit_until(L)
 
 
-class StreamingWatermarker:
-    """24 kHz PCM in → 24 kHz watermarked PCM out, chunk by chunk.
+class _ResampleEmbedPipe:
+    """io_rate PCM in → io_rate watermarked PCM out, chunk by chunk,
+    through an embedder operating at ``embed_rate``.  The output stream
+    is sample-for-sample a single continuous resample→embed→resample
+    pipeline: no group boundaries, and any prefix long enough to carry
+    the mark verifies with the standard offline verifier
+    (watermark/api.py::verify).  Shared by the DSP and ported-net
+    backends — ONE copy of the chaining/flush logic."""
 
-    The output stream is sample-for-sample a single continuous
-    resample→embed→resample pipeline: no group boundaries, and any
-    prefix long enough to carry the mark (~4 s) verifies with the
-    standard offline verifier (watermark/api.py::verify)."""
-
-    def __init__(self, message: List[int], io_rate: int,
-                 message_sdr: float = 30.0):
+    def __init__(self, embedder, embed_rate: int, io_rate: int):
         self._up = (
-            StreamingResampler(io_rate, WATERMARK_RATE)
-            if io_rate != WATERMARK_RATE else None
+            StreamingResampler(io_rate, embed_rate)
+            if io_rate != embed_rate else None
         )
-        self._emb = StreamingEmbedder(message, message_sdr)
+        self._emb = embedder
         self._down = (
-            StreamingResampler(WATERMARK_RATE, io_rate)
-            if io_rate != WATERMARK_RATE else None
+            StreamingResampler(embed_rate, io_rate)
+            if io_rate != embed_rate else None
         )
 
     def feed(self, pcm: np.ndarray) -> np.ndarray:
@@ -223,6 +230,16 @@ class StreamingWatermarker:
         if not self._down:
             return y
         return np.concatenate([self._down.feed(y), self._down.close()])
+
+
+class StreamingWatermarker(_ResampleEmbedPipe):
+    """24 kHz PCM in → 24 kHz watermarked PCM out (DSP backend)."""
+
+    def __init__(self, message: List[int], io_rate: int,
+                 message_sdr: float = 30.0):
+        super().__init__(
+            StreamingEmbedder(message, message_sdr), WATERMARK_RATE, io_rate
+        )
 
 
 def make_streaming_watermarker(
@@ -532,26 +549,7 @@ def make_streaming_net_watermarker(model, key, io_rate: int,
 
     if not isinstance(model, NetWatermarker):
         return None
-
-    class _Pipe:
-        def __init__(self):
-            rate = model.cfg.sample_rate
-            self._up = (StreamingResampler(io_rate, rate)
-                        if io_rate != rate else None)
-            self._emb = StreamingNetEmbedder(model, key, message_sdr)
-            self._down = (StreamingResampler(rate, io_rate)
-                          if io_rate != rate else None)
-
-        def feed(self, pcm):
-            x = self._up.feed(pcm) if self._up else np.asarray(pcm, np.float32)
-            y = self._emb.feed(x)
-            return self._down.feed(y) if self._down else y
-
-        def close(self):
-            x = self._up.close() if self._up else np.zeros(0, np.float32)
-            y = np.concatenate([self._emb.feed(x), self._emb.close()])
-            if not self._down:
-                return y
-            return np.concatenate([self._down.feed(y), self._down.close()])
-
-    return _Pipe()
+    return _ResampleEmbedPipe(
+        StreamingNetEmbedder(model, key, message_sdr),
+        model.cfg.sample_rate, io_rate,
+    )

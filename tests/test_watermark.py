@@ -197,6 +197,7 @@ def test_streaming_matches_offline_embed_interior(wm):
     outs.append(se.close())
     stream = np.concatenate(outs)
     assert len(stream) == len(audio)
-    # interior: past both schemes' leading edge, before the tail bucket
-    lo, hi = 8 * 512 + 2048, len(audio) - (8 * 512 + 2048)
-    np.testing.assert_allclose(stream[lo:hi], off[lo:hi], atol=2e-4)
+    # past the leading edge the stream IS the offline signal, tail
+    # included (the mark cutoff follows the offline bucket policy)
+    lo = 8 * 512 + 2048
+    np.testing.assert_allclose(stream[lo:], off[lo:len(stream)], atol=2e-4)
