@@ -43,21 +43,30 @@ void resample_poly(const float* in, int64_t n_in, const float* taps,
     }
 }
 
+// Sample-exact match of AudioClip.fade_in/fade_out (audio/segment.py):
+// np.linspace(0, 1, n) hits BOTH endpoints (gain i/(n-1)), unlike i/n.
 void apply_fade(float* buf, int64_t n, int64_t fade_in_n, int64_t fade_out_n) {
     if (fade_in_n > n) fade_in_n = n;
     if (fade_out_n > n) fade_out_n = n;
-    for (int64_t i = 0; i < fade_in_n; ++i)
-        buf[i] *= static_cast<float>(i) / static_cast<float>(fade_in_n);
-    for (int64_t i = 0; i < fade_out_n; ++i)
-        buf[n - 1 - i] *= static_cast<float>(i) / static_cast<float>(fade_out_n);
+    if (fade_in_n == 1) buf[0] = 0.0f;
+    else
+        for (int64_t i = 0; i < fade_in_n; ++i)
+            buf[i] *= static_cast<float>(i) / static_cast<float>(fade_in_n - 1);
+    if (fade_out_n == 1) { /* np.linspace(1,0,1) == [1.0]: no-op */ }
+    else
+        for (int64_t i = 0; i < fade_out_n; ++i)
+            buf[n - 1 - i] *= static_cast<float>(i) / static_cast<float>(fade_out_n - 1);
 }
 
+// Sample-exact match of AudioClip.to_int16 (audio/segment.py):
+// clip to [-1, 1], scale by 32767, TRUNCATE toward zero like
+// ndarray.astype(int16) — lrintf rounding differed by 1 LSB.
 void f32_to_i16(const float* in, int64_t n, int16_t* out) {
     for (int64_t i = 0; i < n; ++i) {
-        float v = in[i] * 32767.0f;
-        if (v > 32767.0f) v = 32767.0f;
-        if (v < -32768.0f) v = -32768.0f;
-        out[i] = static_cast<int16_t>(lrintf(v));
+        float v = in[i];
+        if (v > 1.0f) v = 1.0f;
+        if (v < -1.0f) v = -1.0f;
+        out[i] = static_cast<int16_t>(v * 32767.0f);
     }
 }
 

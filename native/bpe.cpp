@@ -78,18 +78,17 @@ int bpe_finalize(void* h) {
 }
 
 // Greedy lowest-rank merging over the byte sequence of one pretoken.
+// Returns the id count, -1 on error, -2 if out_ids is too small (caller
+// should retry with a larger buffer).
+//
+// NOTE: deliberately NO whole-pretoken vocab lookup — byte-level BPE
+// vocabs contain tokens the merge algorithm never produces (their merge
+// is superseded by a lower-ranked competing pair), and the reference
+// tokenizers emit the merged PIECES for such strings, not the direct id.
 int bpe_encode(void* h, const char* bytes, int len, uint32_t* out_ids,
                int max_out) {
     auto* b = static_cast<BPE*>(h);
     if (!b->finalized || len <= 0) return -1;
-
-    // whole-pretoken fast path
-    auto whole = b->token_ids.find(std::string(bytes, len));
-    if (whole != b->token_ids.end()) {
-        if (max_out < 1) return -1;
-        out_ids[0] = whole->second;
-        return 1;
-    }
 
     std::vector<uint32_t> ids;
     ids.reserve(len);
@@ -117,7 +116,7 @@ int bpe_encode(void* h, const char* bytes, int len, uint32_t* out_ids,
         ids.erase(ids.begin() + best_pos + 1);
     }
 
-    if (static_cast<int>(ids.size()) > max_out) return -1;
+    if (static_cast<int>(ids.size()) > max_out) return -2;
     std::memcpy(out_ids, ids.data(), ids.size() * sizeof(uint32_t));
     return static_cast<int>(ids.size());
 }

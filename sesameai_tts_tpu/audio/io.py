@@ -32,14 +32,29 @@ def read_wav(path: str) -> Tuple[np.ndarray, int]:
             payload = f.read(size + (size & 1))
             if cid == b"fmt ":
                 fmt = struct.unpack("<HHIIHH", payload[:16])
+                fmt_payload = payload  # extensible: SubFormat GUID lives here
             elif cid == b"data":
                 data = payload[:size]
         if fmt is None or data is None:
             raise ValueError(f"{path}: missing fmt/data chunk")
         audio_format, channels, rate, _, _, bits = fmt
+        if audio_format == 0xFFFE:
+            # WAVE_FORMAT_EXTENSIBLE: the REAL format is the SubFormat
+            # GUID's first two bytes (offset 24 in the fmt payload).
+            # Assuming integer PCM decoded float32 extensible WAVs (a
+            # common DAW/sox export) as int garbage with no error.
+            if len(fmt_payload) >= 26:
+                audio_format = struct.unpack("<H", fmt_payload[24:26])[0]
+            else:
+                audio_format = 1  # short extensible header: assume PCM
         if audio_format == 3:  # IEEE float
-            x = np.frombuffer(data, "<f4").astype(np.float32)
-        elif audio_format in (1, 0xFFFE):  # PCM (or extensible, assume PCM)
+            if bits == 32:
+                x = np.frombuffer(data, "<f4").astype(np.float32)
+            elif bits == 64:
+                x = np.frombuffer(data, "<f8").astype(np.float32)
+            else:
+                raise ValueError(f"{path}: unsupported float bit depth {bits}")
+        elif audio_format == 1:  # integer PCM
             if bits == 16:
                 x = np.frombuffer(data, "<i2").astype(np.float32) / 32768.0
             elif bits == 32:

@@ -1,7 +1,14 @@
 """ctypes bindings for the native audio kernels (native/audio.cpp,
-SURVEY.md C-N6).  Every entry point has a pure-numpy equivalent in
-audio/resample.py / audio/segment.py; these are the fast host paths used
-when the shared library builds."""
+SURVEY.md C-N6).  Every entry point is a sample-exact equivalent of its
+numpy counterpart in audio/resample.py / audio/segment.py (parity
+tests in tests/test_audio.py).
+
+These are an ALTERNATIVE host backend, not the default path: the
+product's ``resample()`` stays on scipy because the streaming
+resampler's bit-identical-to-offline contract (watermark/stream.py
+depends on it) is defined against scipy's ``upfirdn`` — mixing backends
+within one pipeline would break it.  Embedders/deployments without
+scipy can call these directly."""
 
 from __future__ import annotations
 
@@ -62,6 +69,7 @@ def resample_native(x: np.ndarray, orig_rate: int, new_rate: int) -> np.ndarray:
 
 def fade_inplace(x: np.ndarray, fade_in_n: int, fade_out_n: int) -> np.ndarray:
     lib = _lib()
+    assert lib is not None, "native audio library unavailable (use AudioClip)"
     x = np.ascontiguousarray(x, np.float32)
     lib.apply_fade(x, len(x), fade_in_n, fade_out_n)
     return x
@@ -69,6 +77,7 @@ def fade_inplace(x: np.ndarray, fade_in_n: int, fade_out_n: int) -> np.ndarray:
 
 def to_int16(x: np.ndarray) -> np.ndarray:
     lib = _lib()
+    assert lib is not None, "native audio library unavailable (use AudioClip)"
     x = np.ascontiguousarray(x, np.float32)
     out = np.empty(len(x), np.int16)
     lib.f32_to_i16(x, len(x), out)
@@ -77,6 +86,7 @@ def to_int16(x: np.ndarray) -> np.ndarray:
 
 def peak_normalize_inplace(x: np.ndarray, peak: float = 1.0) -> np.ndarray:
     lib = _lib()
+    assert lib is not None, "native audio library unavailable (use AudioClip)"
     x = np.ascontiguousarray(x, np.float32)
     lib.peak_normalize(x, len(x), peak)
     return x

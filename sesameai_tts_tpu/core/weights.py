@@ -56,6 +56,14 @@ def _read_state_dict(path: str) -> Dict[str, np.ndarray]:
             st = sorted(glob.glob(os.path.join(path, "*.safetensors")))
             if not st:
                 raise FileNotFoundError(f"no checkpoint file found in {path}")
+            if len(st) > 1:
+                # HF-style sharded export (model-00001-of-0000N...): merge
+                # every shard — loading only the first silently dropped
+                # the layers living in later shards
+                merged: Dict[str, np.ndarray] = {}
+                for shard in st:
+                    merged.update(_read_state_dict(shard))
+                return merged
             path = st[0]
     if path.endswith(".safetensors"):
         try:
@@ -221,10 +229,15 @@ def _hf_mimi_to_moshi_keys(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
     loader accepts either.  The remap is validated numerically by
     tests/test_mimi_oracle.py (codes bit-exact vs torch MimiModel)."""
     out: Dict[str, np.ndarray] = {}
-    n_layers = 0
-    for k in sd:
-        if k.startswith("encoder_transformer.layers."):
-            n_layers = max(n_layers, int(k.split(".")[2]) + 1)
+
+    def _count_layers(side: str) -> int:
+        # per side: a decode-only export has no encoder_transformer keys,
+        # and sharing one count would silently skip the other side's remap
+        return max(
+            (int(k.split(".")[2]) + 1 for k in sd
+             if k.startswith(f"{side}.layers.")),
+            default=0,
+        )
     for k, v in sd.items():
         for side in ("encoder", "decoder"):
             if k.startswith(f"{side}.layers."):
@@ -236,7 +249,7 @@ def _hf_mimi_to_moshi_keys(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
                 else:
                     out[f"{side}.model.{idx}.conv.{sub}"] = v
     for side in ("encoder_transformer", "decoder_transformer"):
-        for i in range(n_layers):
+        for i in range(_count_layers(side)):
             p, o = f"{side}.layers.{i}", f"{side}.transformer.layers.{i}"
             out[f"{o}.self_attn.in_proj_weight"] = np.concatenate(
                 [sd[f"{p}.self_attn.q_proj.weight"],

@@ -125,7 +125,6 @@ class NativeBPETokenizer:
         self._h = self._lib.bpe_new()
 
         vocab: Dict[str, int] = model["vocab"]
-        self.vocab_size = len(vocab)
         self._id_to_token = {}
         for token, idx in vocab.items():
             raw = _token_to_bytes(token)
@@ -154,15 +153,33 @@ class NativeBPETokenizer:
         self.eos_id = specials.get(eos_token, vocab.get(eos_token))
         if self.bos_id is None or self.eos_id is None:
             raise ValueError(f"missing {bos_token}/{eos_token} in {tok_file}")
+        # total id space INCLUDING added tokens, matching the HF path's
+        # get_vocab_size() — base-vocab-only left bos/eos >= vocab_size,
+        # and consumers size embedding tables / validate ids against this
+        self.vocab_size = max(
+            len(vocab), *(i + 1 for i in specials.values())
+        ) if specials else len(vocab)
+
+    def __del__(self):  # release the C++ vocab/merge maps (tens of MB)
+        lib, h = getattr(self, "_lib", None), getattr(self, "_h", None)
+        if lib is not None and h:
+            lib.bpe_free(ctypes.c_void_p(h))
+            self._h = None
 
     def encode(self, text: str) -> List[int]:
         ids = [self.bos_id]
-        buf = (ctypes.c_uint32 * 4096)()
+        cap = 4096
+        buf = (ctypes.c_uint32 * cap)()
         for m in _pretokenizer().finditer(text):
             piece = m.group(0).encode("utf-8")
-            n = self._lib.bpe_encode(
-                ctypes.c_void_p(self._h), piece, len(piece), buf, 4096
-            )
+            while True:
+                n = self._lib.bpe_encode(
+                    ctypes.c_void_p(self._h), piece, len(piece), buf, cap
+                )
+                if n != -2:
+                    break
+                cap *= 2  # output larger than the buffer: grow and retry
+                buf = (ctypes.c_uint32 * cap)()
             if n < 0:
                 raise ValueError(f"cannot encode piece {piece!r}")
             ids.extend(buf[i] for i in range(n))

@@ -114,18 +114,24 @@ def _load_bpe(path: str) -> TextTokenizer:
     """
     from sesameai_tts_tpu.tokenizer.native_bpe import NativeBPETokenizer
 
+    errors = []
     try:
         return NativeBPETokenizer(path)
-    except Exception:
-        pass
+    except Exception as e:
+        errors.append(f"native BPE: {e!r}")
     try:
         return HFTokenizer(path)
-    except Exception:
+    except Exception as e:
+        errors.append(f"HF tokenizers: {e!r}")
         import warnings
 
+        # name the REAL causes — "regex/tokenizers unavailable" was often
+        # wrong (a corrupt tokenizer.json or a failed native build look
+        # identical from here), sending the user down the wrong trail
         warnings.warn(
-            "neither the `regex` module nor the `tokenizers` package is "
-            "available: falling back to an ASCII-approximate pretokenizer "
+            "exact tokenizer backends failed ("
+            + "; ".join(errors)
+            + "): falling back to an ASCII-approximate pretokenizer "
             "(tokenization diverges from Llama-3 on non-ASCII text)",
             stacklevel=3,
         )

@@ -49,6 +49,33 @@ def test_resample_jax_matches_scipy():
     np.testing.assert_allclose(jx[100:-100], ref[100:-100], atol=5e-4)
 
 
+def test_read_wav_extensible_float32(tmp_path):
+    """WAVE_FORMAT_EXTENSIBLE (0xFFFE) with an IEEE-float SubFormat — the
+    common DAW/sox float export — must decode as float, not be
+    reinterpreted as int32 garbage."""
+    import struct
+
+    x = (np.sin(np.arange(480) / 10.0) * 0.5).astype(np.float32)
+    data = x.tobytes()
+    # fmt chunk: extensible (40 bytes) with SubFormat GUID for IEEE float
+    guid = struct.pack("<H", 3) + b"\x00\x00\x00\x00\x10\x00\x80\x00\x00\xaa\x00\x38\x9b\x71"
+    fmt = struct.pack("<HHIIHH", 0xFFFE, 1, 24_000, 24_000 * 4, 4, 32)
+    # cbSize=22, validBitsPerSample=32, channelMask — SubFormat at offset 24
+    fmt += struct.pack("<HHI", 22, 32, 0x4) + guid
+    riff = b"WAVE"
+    riff += b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    riff += b"data" + struct.pack("<I", len(data)) + data
+    blob = b"RIFF" + struct.pack("<I", len(riff)) + riff
+    p = tmp_path / "ext_f32.wav"
+    p.write_bytes(blob)
+
+    from sesameai_tts_tpu.audio.io import read_wav
+
+    y, rate = read_wav(str(p))
+    assert rate == 24_000
+    np.testing.assert_array_equal(y[0], x)
+
+
 def test_native_resample_matches_scipy():
     from sesameai_tts_tpu.audio import native
 
@@ -74,6 +101,30 @@ def test_native_helpers():
     assert list(i16) == [0, 32767, -32767, 32767]
     z = native.peak_normalize_inplace(np.array([0.25, -0.5], np.float32), 1.0)
     np.testing.assert_allclose(z, [0.5, -1.0], atol=1e-6)
+
+
+def test_native_fade_and_int16_sample_exact_vs_numpy():
+    """The native helpers promise SAMPLE-EXACT parity with AudioClip:
+    fade ramps hit both linspace endpoints and int16 truncates like
+    ndarray.astype — a pipeline may switch backends without bitwise
+    drift."""
+    from sesameai_tts_tpu.audio import native
+
+    if not native.available():
+        pytest.skip("native audio lib unavailable")
+    rng = np.random.default_rng(5)
+    x = (rng.normal(size=2400) * 0.4).astype(np.float32)
+    sr = 24_000
+    ms = 10.0  # 240 samples
+    clip = AudioClip.from_float(x.copy(), sr).fade_in(ms).fade_out(ms)
+    n = int(ms / 1000.0 * sr)
+    nat = native.fade_inplace(x.copy(), n, n)
+    np.testing.assert_array_equal(nat, clip.samples)
+
+    y = (rng.normal(size=1000) * 1.2).astype(np.float32)  # some clipping
+    np.testing.assert_array_equal(
+        native.to_int16(y.copy()), AudioClip.from_float(y, sr).to_int16()
+    )
 
 
 def test_clip_ops():
