@@ -123,7 +123,6 @@ class DuplexVoiceApp:
             if not sentence:
                 continue
 
-            frames_acc: List[np.ndarray] = []
 
             def on_chunk(_):
                 nonlocal t_first_frame

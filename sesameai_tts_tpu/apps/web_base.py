@@ -31,6 +31,12 @@ class WebAppBase(TTSBaseApp, abc.ABC):
         self.temp_audio_files: List[str] = []
         self.audio_segments: List = []
         self._cancel = threading.Event()
+        # pump GENERATION token: interrupt_and_reset increments it, and a
+        # pump only runs while its captured generation is current.  (A
+        # shared clearable Event raced: the NEW pump's clear() could
+        # revive an OLD pump still blocked inside a synthesis call.)
+        self._pump_gen = 0
+        self.last_status = ""
 
         llm_config.VERBOSE = False
         self.model_manager = ModelManager(llm_config)
@@ -78,7 +84,11 @@ class WebAppBase(TTSBaseApp, abc.ABC):
         """Frontend hook: produce an LLM answer for ``query``."""
 
     def update_status(self, message: str):
-        """Frontend hook: surface ``message``; returns it for chaining."""
+        """Surface ``message``: stored on the app (``last_status``) and
+        returned, so UI event chains can wire it straight into a status
+        Textbox.  Frontends may override to render elsewhere."""
+        self.last_status = message
+        return message
 
     def stream_audio_response(self, audio_chunk):
         """Frontend hook: push one audio tuple to the player."""
@@ -93,6 +103,7 @@ class WebAppBase(TTSBaseApp, abc.ABC):
 
     def interrupt_and_reset(self):
         """Abort the running pump and empty the sentence backlog."""
+        self._pump_gen += 1  # invalidates every in-flight pump
         self._cancel.set()
         self.queue.clear()
         self.audio_segments = []
@@ -109,6 +120,7 @@ class WebAppBase(TTSBaseApp, abc.ABC):
                 log.warning("temp file not removed: %s", path, exc_info=True)
 
     def clear_session(self):
+        self._pump_gen += 1
         self._cancel.set()
         self._purge_temp_files()
         self.queue.clear()
@@ -135,9 +147,14 @@ class WebAppBase(TTSBaseApp, abc.ABC):
             yield False, None
             return
 
+        gen = self._pump_gen  # this pump is valid while gen is current
         self._cancel.clear()
         for index in range(start_index, end_index):
-            if self._cancel.is_set() or index >= len(self.queue):
+            if (
+                gen != self._pump_gen
+                or self._cancel.is_set()
+                or index >= len(self.queue)
+            ):
                 self.update_status("generation cancelled — queue emptied")
                 yield False, None
                 return
@@ -147,11 +164,17 @@ class WebAppBase(TTSBaseApp, abc.ABC):
             )
             self.update_status(status)
             if audio is None:
-                # either synthesis failed (engine-level retries already
-                # spent) or the queue was cleared mid-flight by an
-                # interrupt — both terminate; never stream a None chunk
-                yield False, None
-                return
+                if gen != self._pump_gen or index >= len(self.queue):
+                    yield False, None  # cleared mid-flight by an interrupt
+                    return
+                # synthesis failed for THIS sentence: skip it and keep
+                # narrating — aborting threw away the rest of a long
+                # story over one transient failure (the reference's
+                # export path substitutes silence and continues too)
+                self.update_status(
+                    f"sentence {index + 1} failed — skipped, continuing"
+                )
+                continue
             self.stream_audio_response(audio)
             yield True, audio
 

@@ -32,7 +32,6 @@ class ChatApp(WebAppBase):
         llm_config.SYSTEM_MESSAGE = COMPANION_SYSTEM_PROMPT
         super().__init__(voice=voice, model=model, **kw)
         self.messages = []  # chat history as (role, content) dicts
-        self.processing_active = False
 
     # -- main query pipeline (reference web_chat.py:66-142) -----------------
 
@@ -64,7 +63,6 @@ class ChatApp(WebAppBase):
         new_sentences = self.split_text_into_sentences(response)
         start_idx, end_idx = self.queue.enqueue(new_sentences)
 
-        self.processing_active = True
         yield (
             self.messages,
             f"Generating audio for {len(new_sentences)} sentences...",
@@ -164,7 +162,7 @@ def main(argv=None):
                 temp = gr.Slider(0.1, 1.2, step=0.1, value=0.9,
                                  label="Temperature")
                 speed = gr.Slider(
-                    0.75, 2.0, step=0.05, value=1.0, label="Speech Speed",
+                    1.0, 2.0, step=0.05, value=1.0, label="Speech Speed",  # speedup-only (AudioClip.speedup no-ops <=1)
                     info="Higher values = faster speech (1.0 = normal speed)",
                 )
 

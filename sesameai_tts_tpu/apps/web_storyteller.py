@@ -116,9 +116,7 @@ class StorytellerApp(WebAppBase):
         clips = [c for group in self.prompt_audio_segments for c in group]
         if not clips:
             return None
-        combined = clips[0]
-        for clip in clips[1:]:
-            combined = combined + clip
+        combined = AudioClip.concat(clips)
         return combined.sample_rate, combined.samples
 
     @property
@@ -138,9 +136,7 @@ class StorytellerApp(WebAppBase):
         if not self.prompt_audio_segments or not self.prompt_audio_segments[-1]:
             return None
         group = self.prompt_audio_segments[-1]
-        combined = group[0]
-        for clip in group[1:]:
-            combined = combined + clip
+        combined = AudioClip.concat(group)
         self._prompt_counter += 1
         path = os.path.join(
             self.session_dir, f"prompt_{self._prompt_counter:02d}.wav"
@@ -156,9 +152,7 @@ class StorytellerApp(WebAppBase):
         clips = [c for group in self.prompt_audio_segments for c in group]
         if not clips:
             return None
-        combined = clips[0]
-        for clip in clips[1:]:
-            combined = combined + clip
+        combined = AudioClip.concat(clips)
         stamp = datetime.datetime.now().strftime("%Y%m%d_%H%M%S")
         path = os.path.join(self.session_dir, f"story_{stamp}.wav")
         combined.export(path)
@@ -166,10 +160,16 @@ class StorytellerApp(WebAppBase):
 
     def sentence_generator_loop(self, *args, **kwargs):
         """Auto-save the prompt group when the loop drains (reference
-        web_storyteller.py:483-549)."""
+        web_storyteller.py:483-549).  Only after THIS run produced audio:
+        an inactive/empty pump invocation (empty prompt, failed LLM call)
+        used to re-save the PREVIOUS prompt's group as a duplicate
+        prompt_NN.wav."""
+        produced = 0
         for item in super().sentence_generator_loop(*args, **kwargs):
             active, audio = item
-            if not active:
+            if active and audio is not None:
+                produced += 1
+            if not active and produced:
                 saved = self.save_current_prompt_audio()
                 if saved:
                     self.update_status(f"Saved prompt audio: {saved}")
@@ -250,7 +250,7 @@ def main(argv=None):
                 10, 100, step=5, value=40, label="Top-K (Variety)",
                 info="Lower = more focused, Higher = more varied options", scale=3,
             )
-            speed = gr.Slider(0.75, 2.0, step=0.05, value=1.0,
+            speed = gr.Slider(1.0, 2.0, step=0.05, value=1.0,  # speedup-only
                               label="Speech Speed", scale=2)
 
         rng_state = gr.State((0, 0))

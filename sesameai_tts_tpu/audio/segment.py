@@ -48,6 +48,16 @@ class AudioClip:
             np.concatenate([self.samples, other.samples]), self.sample_rate
         )
 
+    @classmethod
+    def concat(cls, clips: "list[AudioClip]") -> "AudioClip":
+        """Concatenate many clips in ONE allocation (a pairwise __add__
+        fold re-copies the growing buffer per clip — O(n²) for long
+        stories)."""
+        assert clips, "concat of zero clips"
+        sr = clips[0].sample_rate
+        assert all(c.sample_rate == sr for c in clips)
+        return cls(np.concatenate([c.samples for c in clips]), sr)
+
     def normalize(self, peak: float = 1.0) -> "AudioClip":
         m = max(float(np.abs(self.samples).max(initial=0.0)), 1e-6)
         return AudioClip(self.samples / m * peak, self.sample_rate)

@@ -141,7 +141,11 @@ def main(argv=None) -> int:
         t0 = time.time()
         a = gen.generate(args.text, 1, [], max_audio_length_ms=6_000,
                          temperature=0.8, topk=40)
-        rtfs.append((time.time() - t0) / (len(a) / gen.sample_rate))
+        if len(a):  # random tiny weights can EOS on frame 1 → 0 s audio
+            rtfs.append((time.time() - t0) / (len(a) / gen.sample_rate))
+    if not rtfs:
+        print("[info] RTF: no audio produced (immediate EOS) — skipped")
+        return _report(results)
     print(f"[info] RTF median-of-3: {float(np.median(rtfs)):.4f}")
 
     return _report(results)

@@ -249,10 +249,17 @@ class TTS:
             while not stop_event.is_set() or not clip_queue.empty():
                 try:
                     seg = clip_queue.get(timeout=0.5)
-                    self._play_clip(seg)
-                    clip_queue.task_done()
                 except queue.Empty:
                     continue
+                try:
+                    self._play_clip(seg)
+                except Exception as e:  # a playback failure (full disk,
+                    # broken audio device) must not kill the thread with
+                    # the item un-acked — clip_queue.join() below would
+                    # then block say() forever
+                    print(f"Playback error (continuing): {e}")
+                finally:
+                    clip_queue.task_done()
 
         player_thread = None
         if play:
@@ -292,9 +299,7 @@ class TTS:
             player_thread.join(timeout=1.0)
 
         if output_filename and clips:
-            combined = clips[0]
-            for seg in clips[1:]:
-                combined = combined + seg
+            combined = AudioClip.concat(clips)
             combined.export(output_filename)
             print(f"Export complete: {len(combined) / 1000:.2f} seconds of audio")
         return clips
@@ -338,9 +343,7 @@ class TTS:
             clips.append(seg)
 
         if clips:
-            combined = clips[0]
-            for seg in clips[1:]:
-                combined = combined + seg
+            combined = AudioClip.concat(clips)
             print(f"Exporting to {output_filename}...")
             combined.export(output_filename)
             print(f"Export complete: {len(combined) / 1000:.2f} seconds of audio")

@@ -5,6 +5,13 @@ utils/tts_utils.py:13-45 ``clean_text_for_tts`` and the sentence
 splitters at tts_service.py:339 / utils/tts_base.py:37-59): strip
 markdown/code/links/HTML, whitelist TTS-safe characters, normalize
 whitespace and repeated punctuation, em-dash → ellipsis.
+
+NOTE (deliberate reference quirks, reproduced for parity and pinned in
+test_service.py::test_clean_text): the repeat-punctuation collapse at
+tts_utils.py:40 ALSO collapses the just-substituted "..." to ".", and
+the space-after-punctuation rule splits hyphenated words
+("well-known" → "well- known").  Fixing these here would diverge from
+what the reference actually feeds its model.
 """
 
 from __future__ import annotations
