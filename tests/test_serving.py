@@ -32,6 +32,36 @@ def test_concurrent_sessions_complete(server):
         assert audio.shape[0] == total_frames * hop
 
 
+def test_tick_failure_recovery_rebuilds_pool(server):
+    """One transient tick failure must not kill the backlog: slot-attached
+    sessions error out, the pool device state is rebuilt, and subsequent
+    sessions serve normally (regression: a consumed donated state used to
+    poison every later attach)."""
+    gen = server.gen
+    real = gen._decode_mimi_packed
+    calls = {"n": 0}
+
+    def flaky(*a, **k):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("injected transient backend failure")
+        return real(*a, **k)
+
+    gen._decode_mimi_packed = flaky
+    try:
+        bad = server.submit("dies in the first tick", max_audio_length_ms=2000,
+                            temperature=0.8, topk=5)
+        with pytest.raises(RuntimeError, match="injected"):
+            bad.audio(timeout=120)
+    finally:
+        gen._decode_mimi_packed = real
+    # the engine recovered: a fresh session completes end-to-end
+    ok = server.submit("recovers after the failure", max_audio_length_ms=480,
+                       temperature=0.8, topk=5)
+    audio = ok.audio(timeout=300)
+    assert audio.dtype == np.float32
+
+
 def test_submit_requires_running_server():
     """submit() on a stopped server raises instead of queueing a session
     no thread will ever terminate (listener would block forever)."""
