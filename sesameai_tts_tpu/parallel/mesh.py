@@ -77,16 +77,6 @@ def shard_params(params: dict, mesh: Mesh, specs: Optional[dict] = None) -> dict
     return jax.tree.unflatten(treedef, out)
 
 
-def sharding_tree(params: dict, mesh: Mesh, specs: Optional[dict] = None) -> dict:
-    """Same shape as params but NamedSharding leaves (for jit out_shardings)."""
-    specs = specs or csm_param_specs()
-    leaves, treedef = jax.tree.flatten(params)
-    spec_leaves = jax.tree.flatten(specs, is_leaf=lambda x: isinstance(x, P))[0]
-    return jax.tree.unflatten(
-        treedef, [NamedSharding(mesh, s) for s in spec_leaves]
-    )
-
-
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("dp"))
 

@@ -123,6 +123,27 @@ def finetune(args) -> dict:
     ftok = build_frame_tokenizer(spec)
     segments = load_directory(args.data, sample_rate=spec.mimi.sample_rate)
     buckets = tuple(int(b) for b in args.buckets.split(","))
+    # the in-jit rope gather CLAMPS positions past the table — rows
+    # beyond max_seq_len would silently train on position-(max-1)
+    # rotations (corrupted attention geometry, no error).  Buckets past
+    # the model's capacity are definitionally useless: drop them (their
+    # examples then fall to the loader's over-length handling) and only
+    # die if nothing fits.
+    max_pos = spec.csm.backbone.max_seq_len
+    if max(buckets) > max_pos:
+        kept = tuple(b for b in buckets if b <= max_pos)
+        if not kept:
+            raise SystemExit(
+                f"every --buckets value exceeds the backbone's "
+                f"max_seq_len {max_pos}"
+            )
+        print(
+            f"buckets > max_seq_len {max_pos} dropped: "
+            f"{[b for b in buckets if b > max_pos]} (over-length clips "
+            f"are skipped with a count)",
+            file=sys.stderr,
+        )
+        buckets = kept
     eval_segments: list = []
     if args.eval_frac > 0 and len(segments) > 1:
         # seeded split so --resume sees the same held-out set
@@ -207,6 +228,14 @@ def finetune(args) -> dict:
         if path:
             state = ckpt_lib.restore_checkpoint(path, state)
             print(f"resumed from {path} (step {int(state.step)})", file=sys.stderr)
+        else:
+            # the user EXPLICITLY asked to resume: silently retraining
+            # from scratch for hours (then overwriting the dir they
+            # thought held their run) is the worst possible outcome
+            raise SystemExit(
+                f"--resume: no checkpoint found in {args.ckpt_dir!r}; "
+                f"drop --resume to start fresh, or fix --ckpt-dir"
+            )
 
     if args.lora_rank:
         lora_step = make_lora_train_step(
@@ -265,6 +294,7 @@ def finetune(args) -> dict:
     metrics = {}
     t0 = time.time()
     start = int(state.step)
+    last_saved_step = -1
     for batch in prefetch(epochs(), depth=2):
         if int(state.step) >= args.steps:
             break
@@ -282,15 +312,20 @@ def finetune(args) -> dict:
             print(f"step {step} eval_loss {evaluate(state):.4f}", file=sys.stderr)
         if args.ckpt_dir and step % args.save_every == 0:
             ckpt_lib.save_checkpoint(args.ckpt_dir, state)
+            last_saved_step = step
     if eval_fn is not None:
         metrics = dict(metrics)
         metrics["eval_loss"] = evaluate(state)
         print(f"final eval_loss {metrics['eval_loss']:.4f}", file=sys.stderr)
     if args.ckpt_dir:
-        ckpt_lib.save_checkpoint(args.ckpt_dir, state)
-        # params-only export, loadable as ModelSpec.csm_checkpoint; in
-        # LoRA mode the adapters are merged into the dense weights so
-        # the export serves exactly like a full finetune's
+        if last_saved_step != int(state.step):
+            # skip when the loop's periodic save already wrote this step —
+            # a csm-1b TrainState is ~12 GB rewritten for nothing otherwise
+            ckpt_lib.save_checkpoint(args.ckpt_dir, state)
+        # params-only export ALWAYS runs (it is the servable artifact),
+        # loadable as ModelSpec.csm_checkpoint; in LoRA mode the adapters
+        # are merged into the dense weights so the export serves exactly
+        # like a full finetune's
         from sesameai_tts_tpu.core.weights import save_pytree
         import os
 

@@ -62,6 +62,16 @@ def init_lora_params(
     ]
     if not leaves:
         raise ValueError(f"no LoRA targets matched {targets!r}")
+    matched_names = {path[-1] for path, _ in leaves}
+    unmatched = [t for t in targets if t not in matched_names]
+    if unmatched:
+        # a typo ('oproj', a stray space) must not silently train fewer
+        # adapters — the run would complete with a quietly weaker model
+        raise ValueError(
+            f"LoRA target(s) {unmatched!r} matched no parameter leaf; "
+            f"available leaf names include "
+            f"{sorted({p[-1] for p, v in _iter_leaves(params) if getattr(v, 'ndim', 0) >= 2})}"
+        )
     keys = jax.random.split(key, len(leaves))
     for k, (path, v) in zip(keys, leaves):
         *batch, din, dout = v.shape

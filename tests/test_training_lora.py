@@ -142,8 +142,12 @@ def test_finetune_cli_lora_exports_merged(tmp_path):
         (data / f"c{i}.txt").write_text(f"lora clip {i}")
 
     ckpt = str(tmp_path / "run")
+    # --save-every divides --steps: the final step is already saved by the
+    # periodic path, and the params export must STILL be written (a guard
+    # against double-saving once skipped the export with it)
     main(["--data", str(data), "--flavor", "test-tiny", "--steps", "2",
           "--batch-size", "2", "--buckets", "64", "--ckpt-dir", ckpt,
+          "--save-every", "2",
           "--lora-rank", "2", "--log-every", "1", "--warmup", "1"])
 
     # export is the MERGED dense tree — same structure as init_csm_params
