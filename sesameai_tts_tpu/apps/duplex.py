@@ -106,10 +106,13 @@ class DuplexVoiceApp:
             from sesameai_tts_tpu.audio.resample import resample
 
             user_audio = resample(user_audio, sample_rate, self.generator.sample_rate)
+        # a live loop must degrade, not crash: an over-long turn keeps its
+        # tail (module contract: "no hard 2048 wall")
         self.context.append(
             self.generator.frame_tokenizer.segment(
                 Segment(self.user_speaker, user_text, user_audio.astype(np.float32))
-            )
+            ),
+            oversize="trim",
         )
 
         t_first_sentence = None
@@ -150,7 +153,8 @@ class DuplexVoiceApp:
                 self.context.append(
                     self.generator.frame_tokenizer.segment(
                         Segment(self.bot_speaker, sentence, bot_audio)
-                    )
+                    ),
+                    oversize="trim",
                 )
 
     def clear_dialog(self) -> None:

@@ -149,6 +149,7 @@ class WebAppBase(TTSBaseApp, abc.ABC):
 
         gen = self._pump_gen  # this pump is valid while gen is current
         self._cancel.clear()
+        consecutive_failures = 0
         for index in range(start_index, end_index):
             if (
                 gen != self._pump_gen
@@ -169,12 +170,22 @@ class WebAppBase(TTSBaseApp, abc.ABC):
                     return
                 # synthesis failed for THIS sentence: skip it and keep
                 # narrating — aborting threw away the rest of a long
-                # story over one transient failure (the reference's
-                # export path substitutes silence and continues too)
+                # story over one transient failure.  But a DEAD engine
+                # fails every sentence: after 3 in a row, grinding
+                # through dozens more failure cycles helps no one — stop.
+                consecutive_failures += 1
+                if consecutive_failures >= 3:
+                    self.update_status(
+                        f"{consecutive_failures} consecutive sentence "
+                        f"failures — engine looks down, aborting narration"
+                    )
+                    yield False, None
+                    return
                 self.update_status(
                     f"sentence {index + 1} failed — skipped, continuing"
                 )
                 continue
+            consecutive_failures = 0
             self.stream_audio_response(audio)
             yield True, audio
 

@@ -352,7 +352,7 @@ def qdot(x: jnp.ndarray, w: Union[jnp.ndarray, dict]) -> jnp.ndarray:
     (the int4 kernels cast x explicitly; the int8 kernel dequantizes the
     weight to bf16, which makes the MXU compute bf16-grade even for f32
     x).  An f32 caller gets f32 back, but not f32 dot precision — same
-    contract across int8/int4/int4n.
+    contract across int8/int4.
     """
     if is_quantized4(w):
         lead = x.shape[:-1]

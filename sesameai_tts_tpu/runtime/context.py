@@ -63,17 +63,29 @@ class RollingContext:
 
     # -- dialog window ------------------------------------------------------
 
-    def append(self, pair: TokenPair) -> None:
-        """Add a finished dialog segment (user or assistant turn)."""
-        if self.prefix_rows + _rows(pair) > self.budget:
-            # eviction would silently pop the JUST-APPENDED turn and the
-            # caller would believe it was recorded (pin_prefix raises for
-            # the analogous oversized-prefix case)
-            raise ValueError(
-                f"segment ({_rows(pair)} rows) cannot fit the context "
-                f"budget ({self.budget} minus {self.prefix_rows} pinned); "
-                f"split it or raise max_positions"
-            )
+    def append(self, pair: TokenPair, oversize: str = "raise") -> None:
+        """Add a finished dialog segment (user or assistant turn).
+
+        A segment that alone exceeds the budget either raises
+        (``oversize='raise'``, the default — eviction would silently pop
+        the JUST-APPENDED turn while the caller believes it was
+        recorded; pin_prefix raises for the analogous case) or keeps its
+        TAIL rows (``oversize='trim'`` — live loops like the duplex app
+        must degrade, not crash mid-conversation; the most recent audio
+        carries the prosody the next turn continues from)."""
+        room = self.budget - self.prefix_rows
+        if _rows(pair) > room:
+            if oversize != "trim":
+                raise ValueError(
+                    f"segment ({_rows(pair)} rows) cannot fit the context "
+                    f"budget ({self.budget} minus {self.prefix_rows} "
+                    f"pinned); split it, raise max_positions, or pass "
+                    f"oversize='trim'"
+                )
+            t, m = pair
+            pair = (t[-max(room, 0):], m[-max(room, 0):])
+            if _rows(pair) == 0:
+                return  # no room at all: nothing recordable
         self._window.append(pair)
         self._evict()
 

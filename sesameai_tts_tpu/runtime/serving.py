@@ -136,6 +136,17 @@ class BatchedTTSServer:
         self._lock = threading.Lock()
         self._inflight = None  # lag-1 dispatched tick awaiting fetch
         self._running = False
+        # structured observability (SURVEY.md §5: the reference has only
+        # ad-hoc prints): TTFA distribution + counters for /metrics
+        from sesameai_tts_tpu.utils.profiling import Metrics
+
+        self.metrics = Metrics()
+        self._sessions_total = 0
+        self._frames_total = 0
+        self._started_at = time.time()
+        self._thread: Optional[threading.Thread] = None
+        self._admitter: Optional[threading.Thread] = None
+        self._build_programs()
 
     def _reset_pool_state(self) -> None:
         """(Re)allocate the batched device state.  Called at construction
@@ -156,17 +167,6 @@ class BatchedTTSServer:
         self._mimi_state = generator._mimi.init_decode_state(
             slots, generator._mimi_dtype
         )
-        # structured observability (SURVEY.md §5: the reference has only
-        # ad-hoc prints): TTFA distribution + counters for /metrics
-        from sesameai_tts_tpu.utils.profiling import Metrics
-
-        self.metrics = Metrics()
-        self._sessions_total = 0
-        self._frames_total = 0
-        self._started_at = time.time()
-        self._thread: Optional[threading.Thread] = None
-        self._admitter: Optional[threading.Thread] = None
-        self._build_programs()
 
     # -- jitted slot ops -----------------------------------------------------
 
@@ -232,14 +232,14 @@ class BatchedTTSServer:
     # -- public API -----------------------------------------------------------
 
     def submit(self, text: str, **kw) -> Session:
-        if not self._running:
-            # before start() / after stop() no thread would ever consume
-            # the queue — the session's listener would block forever
-            raise RuntimeError("server is not running (call start())")
         s = Session(text=text, **kw)
-        with self._lock:  # submit() is called from arbitrary threads
+        with self._lock:  # atomic with stop()'s _running flip: a session
+            # must never be enqueued after the final drain (its listener
+            # would block forever on a queue no thread consumes)
+            if not self._running:
+                raise RuntimeError("server is not running (call start())")
             self._sessions_total += 1
-        self._pending.put(s)
+            self._pending.put(s)
         return s
 
     def synthesize_batch(
@@ -313,7 +313,8 @@ class BatchedTTSServer:
                 s.chunks.put(None)
 
     def stop(self):
-        self._running = False
+        with self._lock:  # after this, submit() raises — nothing can be
+            self._running = False  # enqueued past the drain below
         if self._thread:
             self._thread.join(timeout=10)
         if self._admitter:
@@ -322,8 +323,6 @@ class BatchedTTSServer:
         # when the threads exit must observe termination — a listener
         # blocked in audio() with no timeout would otherwise hang forever.
         err = RuntimeError("server stopped")
-        self._terminate_queued(err)
-        time.sleep(0.05)  # a submit() that raced the _running flip
         self._terminate_queued(err)
         for slot in range(self.B):
             s = self._sessions[slot]

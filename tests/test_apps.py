@@ -57,6 +57,20 @@ def test_rolling_context_oversized_segment_raises():
     assert ctx.window_rows == 40
 
 
+def test_rolling_context_oversize_trim_keeps_tail():
+    """oversize='trim' (the duplex live-loop mode): an over-long turn
+    keeps its TAIL rows instead of crashing the conversation."""
+    import numpy as np
+
+    ctx = RollingContext(max_positions=300, generation_budget=100, text_budget=50)
+    t = np.arange(200)[:, None].repeat(9, 1).astype(np.int32)
+    m = np.ones((200, 9), bool)
+    ctx.append((t, m), oversize="trim")
+    assert 0 < ctx.window_rows <= ctx.budget
+    kept = ctx.pairs()[-1][0]
+    assert kept[-1, 0] == 199  # the tail survived, not the head
+
+
 # ---------------------------------------------------------------------------
 # llm client
 # ---------------------------------------------------------------------------
