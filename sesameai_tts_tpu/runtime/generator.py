@@ -351,6 +351,22 @@ class Generator:
         return max(16, self._max_seq_len - max(64, self._max_seq_len // 8))
 
     @property
+    def max_clip_samples(self) -> int:
+        """Longest context clip (in samples) worth encoding: the largest
+        power-of-2 frame bucket (frames.pad_audio_to_frame_bucket) that
+        (a) stays inside the codec's RoPE window
+        (Mimi.max_latent_positions) and (b) isn't strictly beyond the KV
+        context budget — frames past ``context_budget`` rows would be
+        tail-trimmed before prefill anyway, so encoding them is pure
+        waste.  Longer clips must be trimmed by the caller; nothing
+        usable is lost."""
+        cfg = self._mimi.cfg
+        frames_window = cfg.max_latent_positions // cfg.downsample_stride
+        codec_cap = 1 << (frames_window.bit_length() - 1)
+        budget_cap = 1 << (self.context_budget - 1).bit_length()  # pow2 ceil
+        return min(codec_cap, budget_cap) * self._hop
+
+    @property
     def frame_tokenizer(self) -> FrameTokenizer:
         return self._tokenizer
 

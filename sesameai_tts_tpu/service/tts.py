@@ -111,14 +111,24 @@ class TTS:
         self.voice_data = self.registry[voice_name]
         print(f"Preparing reference audio context for voice: {voice_name}...")
 
-        segments = [
-            Segment(
-                speaker=1,
-                text=text,
-                audio=read_wav_mono(path, self.generator.sample_rate)[0],
-            )
-            for path, text in self.voice_data.items()
-        ]
+        max_clip = self.generator.max_clip_samples
+        segments = []
+        for path, text in self.voice_data.items():
+            audio = read_wav_mono(path, self.generator.sample_rate)[0]
+            if len(audio) > max_clip:
+                # keep the TAIL (same policy as the frame-level context
+                # trim below): clips past the codec's one-pass encode
+                # window would raise in Mimi.encode, and their frames
+                # would overflow the KV budget anyway
+                logger.warning(
+                    "voice clip %s (%.0f s) exceeds the codec encode window "
+                    "(%.0f s); keeping the last %.0f s",
+                    path, len(audio) / self.generator.sample_rate,
+                    max_clip / self.generator.sample_rate,
+                    max_clip / self.generator.sample_rate,
+                )
+                audio = audio[-max_clip:]
+            segments.append(Segment(speaker=1, text=text, audio=audio))
         self.cached_segments = [
             self.generator.frame_tokenizer.segment(s) for s in segments
         ]

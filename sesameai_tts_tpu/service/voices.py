@@ -63,9 +63,12 @@ def discover_from_dir(root: str) -> Dict[str, VoiceData]:
 
 
 def load_registry(spec: Optional[str] = None) -> Dict[str, VoiceData]:
-    """spec: None (try ./samples.py then ./voices/), a .py module path,
-    a .json path, or a directory."""
+    """spec: None ($SESAME_TTS_VOICES, then ./samples.py, then
+    ./voices/), a .py module path, a .json path, or a directory."""
     if spec is None:
+        env = os.environ.get("SESAME_TTS_VOICES")
+        if env:
+            return load_registry(env)
         if os.path.exists("samples.py"):
             return load_registry("samples.py")
         return discover_from_dir("voices")
@@ -78,5 +81,18 @@ def load_registry(spec: Optional[str] = None) -> Dict[str, VoiceData]:
         mod_spec = importlib.util.spec_from_file_location(name, spec)
         module = importlib.util.module_from_spec(mod_spec)
         mod_spec.loader.exec_module(module)
-        return discover_from_module(module)
+        reg = discover_from_module(module)
+        # samples.py-style modules use paths relative to their own repo
+        # root (reference samples.py:4 ``AUDIO_DIR = Path("wav")``); the
+        # reference only works when run from that directory. Resolve
+        # relative clip paths against the module's directory so e.g.
+        # ``--voices /path/to/checkout/samples.py`` works from anywhere.
+        base = os.path.dirname(os.path.abspath(spec))
+        return {
+            voice: {
+                (p if os.path.isabs(p) else os.path.join(base, p)): t
+                for p, t in clips.items()
+            }
+            for voice, clips in reg.items()
+        }
     return discover_from_dir(spec)

@@ -139,6 +139,32 @@ def test_load_voice_overlong_context_trims(voice_dir, caplog):
     assert audio.dtype == np.float32
 
 
+def test_load_voice_overlong_clip_trims_before_encode(voice_dir, caplog):
+    """A clip longer than the codec's one-pass encode window (or,
+    tighter, the KV budget's frame bucket) is tail-trimmed BEFORE Mimi
+    encode.  Regression: a 57 s real clip used to crash load_voice with
+    the max_latent_positions ValueError instead of loading."""
+    import logging as _logging
+    from pathlib import Path
+
+    root = Path(voice_dir)
+    vdir = root / "hugevoice"
+    vdir.mkdir(exist_ok=True)
+    rng = np.random.default_rng(9)
+    wav = (rng.normal(size=5 * 24_000) * 0.1).astype(np.float32)  # 5 s
+    write_wav(str(vdir / "clip.wav"), wav, 24_000)
+    (vdir / "clip.txt").write_text("an absurdly long reference clip")
+
+    engine = TTS(spec=tiny_spec(), voices=voice_dir, enable_watermark=False)
+    engine.load_model()
+    assert 5 * 24_000 > engine.generator.max_clip_samples  # premise
+    with caplog.at_level(_logging.WARNING, "sesameai_tts_tpu.service.tts"):
+        engine.load_voice("hugevoice", warmup=False)
+    assert any("encode window" in r.message for r in caplog.records)
+    state, length = engine.cached_context
+    assert 0 < length <= engine.generator.context_budget
+
+
 def test_precompute_context_state_overlong_raises(tts):
     """Generator-level contract: an unfittable context raises a clear
     ValueError, not a numpy broadcast error."""
