@@ -416,6 +416,11 @@ def main(argv=None):
     p.add_argument("--host", default="0.0.0.0")
     p.add_argument("--port", type=int, default=8080)
     p.add_argument("--slots", type=int, default=4)
+    p.add_argument("--chunk-frames", type=int, default=10,
+                   help="scheduler tick size in frames; smaller ticks "
+                        "bound TTFA under load tighter (an admission "
+                        "waits out at most one in-flight tick) at some "
+                        "dispatch-overhead cost")
     p.add_argument("--model-path", default=None)
     p.add_argument("--mimi-path", default=None)
     p.add_argument("--tokenizer", default="byte")
@@ -435,28 +440,15 @@ def main(argv=None):
 
     voices = {}
     if args.voices:
-        from sesameai_tts_tpu.audio.io import read_wav_mono
-        from sesameai_tts_tpu.runtime.frames import Segment
-        from sesameai_tts_tpu.service.tts import _fit_context
+        from sesameai_tts_tpu.service.tts import prepare_voice_context
         from sesameai_tts_tpu.service.voices import load_registry
 
-        budget = gen.context_budget
         for name, clips in load_registry(args.voices).items():
-            segs = [
-                gen.frame_tokenizer.segment(
-                    Segment(speaker=1, text=text,
-                            audio=read_wav_mono(path, gen.sample_rate)[0])
-                )
-                for path, text in clips.items()
-            ]
-            fitted, rows, trimmed = _fit_context(segs, budget)
-            if trimmed:
-                logger.warning(
-                    "voice %r context tail-trimmed to %d rows to fit the "
-                    "KV budget; use shorter reference clips", name, rows,
-                )
-            # precompute each voice's KV prefix ONCE; every request for the
-            # voice reuses it (no per-request context prefill)
+            # shared preload path: clip-level trim before Mimi encode +
+            # KV-budget tail-trim (prepare_voice_context logs both).
+            # Precompute each voice's KV prefix ONCE; every request for
+            # the voice reuses it (no per-request context prefill)
+            fitted, _rows, _trimmed = prepare_voice_context(gen, clips, name)
             voices[name] = gen.precompute_context_state(fitted)
 
     wm = None
@@ -466,7 +458,8 @@ def main(argv=None):
 
         wm = (load_watermarker(), CSM_1B_WATERMARK)
 
-    engine = BatchedTTSServer(gen, slots=args.slots)
+    engine = BatchedTTSServer(gen, slots=args.slots,
+                              chunk_frames=args.chunk_frames)
     engine.start()
     httpd = serve(engine, args.host, args.port, voices, gen.sample_rate,
                   watermarker=wm, model_name=args.flavor)

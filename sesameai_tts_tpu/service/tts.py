@@ -64,6 +64,46 @@ def _fit_context(segs, budget: int):
     return segs, total, True
 
 
+def prepare_voice_context(generator: Generator, clips: Dict[str, str],
+                          name: str = "voice"):
+    """Read, clip-trim, tokenize and KV-fit a voice's
+    ``{wav_path: transcript}`` clips into ``(tokens, mask)`` segments
+    ready for ``precompute_context_state``.
+
+    The one shared voice-preload path (TTS.load_voice AND the HTTP
+    server): clips past the codec's one-pass encode window tail-trim
+    BEFORE Mimi encode (they would raise, and their frames overflow the
+    KV budget anyway), then the tokenized rows tail-trim to the
+    generator's context budget.  Returns ``(segments, rows, trimmed)``.
+    """
+    max_clip = generator.max_clip_samples
+    segments = []
+    for path, text in clips.items():
+        audio = read_wav_mono(path, generator.sample_rate)[0]
+        if len(audio) > max_clip:
+            # keep the TAIL (same policy as the frame-level trim)
+            logger.warning(
+                "voice clip %s (%.0f s) exceeds the codec encode window "
+                "(%.0f s); keeping the last %.0f s",
+                path, len(audio) / generator.sample_rate,
+                max_clip / generator.sample_rate,
+                max_clip / generator.sample_rate,
+            )
+            audio = audio[-max_clip:]
+        segments.append(Segment(speaker=1, text=text, audio=audio))
+    tokenized = [generator.frame_tokenizer.segment(s) for s in segments]
+    raw_rows = sum(int(t.shape[0]) for t, _ in tokenized)
+    fitted, rows, trimmed = _fit_context(tokenized, generator.context_budget)
+    if trimmed:
+        logger.warning(
+            "voice %r context (%d rows) exceeds the KV budget; "
+            "tail-trimmed to %d rows — use shorter reference clips "
+            "for full-fidelity voice conditioning",
+            name, raw_rows, rows,
+        )
+    return fitted, rows, trimmed
+
+
 class TTS:
     """Text-to-speech engine over the TPU-native Generator."""
 
@@ -111,43 +151,13 @@ class TTS:
         self.voice_data = self.registry[voice_name]
         print(f"Preparing reference audio context for voice: {voice_name}...")
 
-        max_clip = self.generator.max_clip_samples
-        segments = []
-        for path, text in self.voice_data.items():
-            audio = read_wav_mono(path, self.generator.sample_rate)[0]
-            if len(audio) > max_clip:
-                # keep the TAIL (same policy as the frame-level context
-                # trim below): clips past the codec's one-pass encode
-                # window would raise in Mimi.encode, and their frames
-                # would overflow the KV budget anyway
-                logger.warning(
-                    "voice clip %s (%.0f s) exceeds the codec encode window "
-                    "(%.0f s); keeping the last %.0f s",
-                    path, len(audio) / self.generator.sample_rate,
-                    max_clip / self.generator.sample_rate,
-                    max_clip / self.generator.sample_rate,
-                )
-                audio = audio[-max_clip:]
-            segments.append(Segment(speaker=1, text=text, audio=audio))
-        self.cached_segments = [
-            self.generator.frame_tokenizer.segment(s) for s in segments
-        ]
-        # the KV cache must hold context + utterance text + audio frames;
-        # tail-trim the voice context into the generator's context budget
-        # (capacity minus the utterance reserve) rather than failing
-        budget = self.generator.context_budget
-        raw_rows = sum(int(t.shape[0]) for t, _ in self.cached_segments)
-        fitted, rows, trimmed = _fit_context(self.cached_segments, budget)
-        if trimmed:
-            logger.warning(
-                "voice %r context (%d rows) exceeds the KV budget; "
-                "tail-trimmed to %d rows — use shorter reference clips "
-                "for full-fidelity voice conditioning",
-                voice_name, raw_rows, rows,
-            )
-            # every downstream consumer (incl. the no-cache fallback in
-            # generate_with_context) must see the SAME effective context
-            self.cached_segments = fitted
+        # every downstream consumer (incl. the no-cache fallback in
+        # generate_with_context) must see the SAME effective (clip- and
+        # KV-trimmed) context
+        fitted, _rows, _trimmed = prepare_voice_context(
+            self.generator, self.voice_data, voice_name
+        )
+        self.cached_segments = fitted
         self.cached_context = self.generator.precompute_context_state(fitted)
         print("Reference audio context prepared")
         if warmup:
