@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import dataclasses
 from dataclasses import dataclass
-from typing import Callable, Dict
+from typing import Callable, Dict, Optional
 
 import jax.numpy as jnp
 
@@ -146,10 +146,21 @@ class CSMConfig:
     text_vocab_size: int = 128_256
     audio_vocab_size: int = 2051
     audio_num_codebooks: int = 32
+    # Optional backbone KV/position capacity override (rows). Weights are
+    # independent of it; the flavor's value (2048 for the published
+    # model) is the ceiling the checkpoint was trained for. SERVING
+    # pools benefit from less: the decode step streams the whole static
+    # KV buffer every frame — measured at B=16 on v5e, 2048→1024 cuts
+    # the model step 11.7→9.8 ms (→9.1 ms at 512). Sessions are bounded
+    # by context+text+frames ≤ this, enforced by the existing guards.
+    max_seq_len: Optional[int] = None
 
     @property
     def backbone(self) -> TransformerConfig:
-        return get_flavor(self.backbone_flavor)
+        cfg = get_flavor(self.backbone_flavor)
+        if self.max_seq_len is not None and self.max_seq_len != cfg.max_seq_len:
+            cfg = dataclasses.replace(cfg, max_seq_len=self.max_seq_len)
+        return cfg
 
     @property
     def decoder(self) -> TransformerConfig:

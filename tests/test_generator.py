@@ -150,3 +150,31 @@ def test_seed_reproducibility(gen):
     frames7 = gen.generate_frames("seeded utterance", seed=7, **kw)
     frames8 = gen.generate_frames("seeded utterance", seed=8, **kw)
     assert frames7.shape != frames8.shape or not np.array_equal(frames7, frames8)
+
+
+def test_max_positions_override_same_audio(gen):
+    """CSMConfig.max_seq_len shrinks the backbone KV capacity (a serving
+    throughput lever: the decode step streams the whole static buffer)
+    WITHOUT changing numerics: same seed + same weights -> identical
+    audio, shorter cache, proportionally tighter length guard."""
+    import dataclasses
+
+    spec = tiny_spec()
+    spec.csm = spec.csm.replace(max_seq_len=96)
+    gen96 = build_generator(spec, decode_chunk_frames=4)
+    assert gen96.max_seq_len == 96
+    assert gen96.context_budget < gen.context_budget
+
+    kw = dict(speaker=1, context=[], max_audio_length_ms=640,
+              temperature=1.2, topk=5)
+    a_full = gen.generate("short seeded utterance", seed=11, **kw)
+    a_96 = gen96.generate("short seeded utterance", seed=11, **kw)
+    np.testing.assert_array_equal(a_full, a_96)
+
+    # the guard now enforces the shrunken capacity (an oversized BUDGET
+    # clamps by design; an oversized PROMPT must raise)
+    long_text = " ".join(f"w{i}" for i in range(200))
+    assert gen96._tokenize_prompt(long_text, 1, [])[0].shape[0] > 96
+    with pytest.raises(ValueError):
+        gen96.generate(long_text, speaker=1, context=[],
+                       max_audio_length_ms=60_000)
