@@ -333,63 +333,108 @@ class BatchedTTSServer:
 
     # -- admission (worker thread: prefill + host syncs off the tick) ---------
 
-    def _admission_loop(self):
+    def _dispatch_admission(self, session: Session):
+        """Stage 1: dispatch one session's prefill + first-chunk programs
+        (async — nothing is fetched here). Returns the in-flight record,
+        or None if the session failed at dispatch."""
+        gen = self.gen
+        max_gen = int(session.max_audio_length_ms / FRAME_MS)
+        try:
+            frame, state1, done1, max_gen = gen._prefill_utterance(
+                session.text, session.speaker, list(session.context),
+                session.cached_context, max_gen, session.temperature,
+                session.topk,
+            )
+            # the prefill frame's PCM decodes here (B=1 state, scattered
+            # into the batched codec state at attach); (done, frame, PCM)
+            # arrive in one fetch — the only host sync on admission
+            ms1 = gen._mimi.init_decode_state(1, gen._mimi_dtype)
+            packed0, ms1 = gen._first_chunk(gen._mimi_params, frame, done1, ms1)
+        except Exception as e:
+            session.error = e
+            session.chunks.put(None)
+            return None
+        return (session, frame, state1, max_gen, ms1, packed0)
+
+    def _complete_admission(self, inflight) -> None:
+        """Stage 2: fetch the dispatched first chunk, emit first audio,
+        hand the session to the tick thread (or finish it on EOS)."""
         gen = self.gen
         K = gen._cfg.audio_num_codebooks
+        session, frame, state1, max_gen, ms1, packed0 = inflight
+        try:
+            arr0 = np.asarray(packed0)
+        except Exception as e:
+            session.error = e
+            session.chunks.put(None)
+            return
+        done1_np = bool(arr0[0])
+        frame_np = arr0[1 : 1 + K].reshape(1, K)
+        wav0 = arr0[1 + K :].view(np.float32)
+        # first audio leaves HERE, on the admission thread — TTFA no
+        # longer waits for the tick thread to find a free slot and
+        # scatter (was the dominant under-load latency term: ~1 tick
+        # cadence + attach, measured +60-80 ms at 3 busy slots)
+        if not done1_np:
+            self._emit_session(session, frame_np, wav0)
+        if done1_np or max_gen <= 1:
+            # EOS on the prefill frame / 1-frame budget: the session
+            # is complete without ever occupying a slot
+            self._finish_session(session)
+            return
+        item = (session, frame, state1, max_gen, ms1)
+        placed = False
+        while self._running:  # bounded queue: block without hanging stop()
+            try:
+                self._ready.put(item, timeout=0.2)
+                placed = True
+                break
+            except queue.Full:
+                continue
+        if not placed:  # stop() raced the bounded put: terminate cleanly
+            session.error = RuntimeError("server stopped")
+            session.chunks.put(None)
+
+    def _admission_loop(self):
+        """Two-stage admission pipeline: dispatch session N+1's prefill
+        BEFORE fetching session N's first chunk, so the ~30-60 ms remote
+        fetch round trip rides under the next prefill's execution.
+
+        Serialized admissions were the bulk-workload bottleneck: the
+        fused tick engine sustains ~1390 f/s at B=16 (measured
+        device-only) but each admission cost ~100 ms wall (prefill +
+        first-chunk fetch), so 32 short sessions spent more wall
+        admitting than decoding."""
+        inflight = None  # dispatched admission awaiting its fetch
         while self._running:
+            session = None
             try:
-                session = self._pending.get(timeout=0.05)
-            except queue.Empty:
-                continue
-            if session.cancelled:
-                session.chunks.put(None)
-                continue
-            max_gen = int(session.max_audio_length_ms / FRAME_MS)
-            self._admitting += 1  # GIL-atomic; tick thread only reads
-            try:
-                frame, state1, done1, max_gen = gen._prefill_utterance(
-                    session.text, session.speaker, list(session.context),
-                    session.cached_context, max_gen, session.temperature,
-                    session.topk,
+                # with a fetch pending, only grab new work that is
+                # already queued — never sit blocked while a completed
+                # first chunk waits to be delivered (TTFA)
+                session = (
+                    self._pending.get_nowait() if inflight is not None
+                    else self._pending.get(timeout=0.05)
                 )
-                # the prefill frame's PCM decodes here (B=1 state, scattered
-                # into the batched codec state at attach); (done, frame,
-                # PCM) arrive in one fetch — the only host sync on admission
-                ms1 = gen._mimi.init_decode_state(1, gen._mimi_dtype)
-                packed0, ms1 = gen._first_chunk(gen._mimi_params, frame, done1, ms1)
-                arr0 = np.asarray(packed0)
-            except Exception as e:
-                session.error = e
-                session.chunks.put(None)
+            except queue.Empty:
+                pass
+            nxt = None
+            if session is not None:
+                if session.cancelled:
+                    session.chunks.put(None)
+                else:
+                    self._admitting += 1  # GIL-atomic; tick thread reads
+                    nxt = self._dispatch_admission(session)
+                    if nxt is None:
+                        self._admitting -= 1
+            if inflight is not None:
+                self._complete_admission(inflight)
                 self._admitting -= 1
-                continue
-            done1_np = bool(arr0[0])
-            frame_np = arr0[1 : 1 + K].reshape(1, K)
-            wav0 = arr0[1 + K :].view(np.float32)
-            # first audio leaves HERE, on the admission thread — TTFA no
-            # longer waits for the tick thread to find a free slot and
-            # scatter (was the dominant under-load latency term: ~1 tick
-            # cadence + attach, measured +60-80 ms at 3 busy slots)
-            if not done1_np:
-                self._emit_session(session, frame_np, wav0)
-            if done1_np or max_gen <= 1:
-                # EOS on the prefill frame / 1-frame budget: the session
-                # is complete without ever occupying a slot
-                self._finish_session(session)
-                self._admitting -= 1
-                continue
-            item = (session, frame, state1, max_gen, ms1)
-            placed = False
-            while self._running:  # bounded queue: block without hanging stop()
-                try:
-                    self._ready.put(item, timeout=0.2)
-                    placed = True
-                    break
-                except queue.Full:
-                    continue
-            if not placed:  # stop() raced the bounded put: terminate cleanly
-                session.error = RuntimeError("server stopped")
-                session.chunks.put(None)
+            inflight = nxt
+        if inflight is not None:  # stopped mid-pipeline: never strand it
+            s = inflight[0]
+            s.error = RuntimeError("server stopped")
+            s.chunks.put(None)
             self._admitting -= 1
 
     def _attach(self, slot: int, item) -> None:
