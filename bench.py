@@ -187,8 +187,10 @@ def main():
     # (measured slot scaling, same session: B=8 208 f/s → B=16 400 f/s
     # (1.9×) → B=32 373 f/s with per-stream RTF ≥ 1 (falls behind
     # realtime). 16 slots is the production throughput config; the
-    # latency config stays 4-8.)
-    server16 = BatchedTTSServer(gen, slots=16, chunk_frames=10)
+    # latency config stays 4-8. 5-frame ticks are the serve CLI's
+    # auto-default above 8 slots — measured better on BOTH axes at 16
+    # slots since admissions pipeline (588 vs 537 f/s; docs/SERVING.md).)
+    server16 = BatchedTTSServer(gen, slots=16, chunk_frames=5)
     server16.start()
     try:
         warm = [server16.submit(text, max_audio_length_ms=1_500) for _ in range(2)]

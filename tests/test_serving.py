@@ -224,3 +224,19 @@ def test_one_frame_session_completes_at_admission(server):
     m = server.metrics_summary()
     assert m["series"]["session_s"]["count"] >= 1
     assert m["sessions_total"] >= 1
+
+
+def test_admission_error_between_healthy_sessions(server):
+    """A dispatch failure mid-pipeline must not strand the in-flight
+    healthy admission on either side (the admission loop pipelines:
+    session N+1 dispatches before session N's first chunk is fetched)."""
+    a = server.submit("healthy utterance one", max_audio_length_ms=480,
+                      temperature=0.8, topk=5)
+    bad = server.submit("x " * 3000, max_audio_length_ms=480)
+    b = server.submit("healthy utterance two", max_audio_length_ms=480,
+                      temperature=0.8, topk=5)
+    audio_a = a.audio(timeout=300)
+    audio_b = b.audio(timeout=300)
+    assert audio_a.dtype == np.float32 and audio_b.dtype == np.float32
+    with pytest.raises(ValueError, match="Inputs too long"):
+        bad.audio(timeout=120)
