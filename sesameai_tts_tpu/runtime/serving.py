@@ -133,6 +133,10 @@ class BatchedTTSServer:
         # admission worker blocks here instead of prefilling the whole
         # backlog into HBM
         self._ready: "queue.Queue[tuple]" = queue.Queue(maxsize=max(2, slots))
+        # dispatched admissions whose first-chunk fetch hasn't landed yet
+        # (hand-off between the dispatch and completion workers). BOUNDED
+        # for the same HBM reason as _ready: each entry pins a B=1 state.
+        self._dispatched: "queue.Queue[tuple]" = queue.Queue(maxsize=2)
         self._lock = threading.Lock()
         self._inflight = None  # lag-1 dispatched tick awaiting fetch
         self._running = False
@@ -146,6 +150,7 @@ class BatchedTTSServer:
         self._started_at = time.time()
         self._thread: Optional[threading.Thread] = None
         self._admitter: Optional[threading.Thread] = None
+        self._completer: Optional[threading.Thread] = None
         self._build_programs()
 
     def _reset_pool_state(self) -> None:
@@ -294,15 +299,19 @@ class BatchedTTSServer:
 
     def start(self):
         self._running = True
-        self._admitter = threading.Thread(target=self._admission_loop, daemon=True)
+        self._admitter = threading.Thread(target=self._dispatch_loop, daemon=True)
         self._admitter.start()
+        self._completer = threading.Thread(
+            target=self._completion_loop, daemon=True
+        )
+        self._completer.start()
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
     def _terminate_queued(self, err: Exception) -> None:
         """Drain _pending/_ready, erroring every queued session (shared
         by stop() and any path that must fail the backlog)."""
-        for q in (self._pending, self._ready):
+        for q in (self._pending, self._dispatched, self._ready):
             while True:
                 try:
                     item = q.get_nowait()
@@ -319,6 +328,8 @@ class BatchedTTSServer:
             self._thread.join(timeout=10)
         if self._admitter:
             self._admitter.join(timeout=10)
+        if self._completer:
+            self._completer.join(timeout=10)
         # Sessions still queued (_pending/_ready) or attached to a slot
         # when the threads exit must observe termination — a listener
         # blocked in audio() with no timeout would otherwise hang forever.
@@ -395,46 +406,57 @@ class BatchedTTSServer:
             session.error = RuntimeError("server stopped")
             session.chunks.put(None)
 
-    def _admission_loop(self):
-        """Two-stage admission pipeline: dispatch session N+1's prefill
-        BEFORE fetching session N's first chunk, so the ~30-60 ms remote
-        fetch round trip rides under the next prefill's execution.
+    def _dispatch_loop(self):
+        """Admission pipeline stage 1 (own thread): dispatch session
+        N+1's prefill WHILE session N's first-chunk fetch is in flight on
+        the completion thread, so the ~30-60 ms remote fetch round trip
+        rides under the next prefill's execution.
 
         Serialized admissions were the bulk-workload bottleneck: the
         fused tick engine sustains ~1390 f/s at B=16 (measured
         device-only) but each admission cost ~100 ms wall (prefill +
         first-chunk fetch), so 32 short sessions spent more wall
-        admitting than decoding."""
-        inflight = None  # dispatched admission awaiting its fetch
+        admitting than decoding.  Dispatch and completion are SEPARATE
+        threads (not one alternating loop) so a dispatch that blocks —
+        a first-use prefill-bucket size is a minutes-long remote compile
+        on this platform — never delays delivering a first chunk the
+        device already finished."""
         while self._running:
-            session = None
             try:
-                # with a fetch pending, only grab new work that is
-                # already queued — never sit blocked while a completed
-                # first chunk waits to be delivered (TTFA)
-                session = (
-                    self._pending.get_nowait() if inflight is not None
-                    else self._pending.get(timeout=0.05)
-                )
+                session = self._pending.get(timeout=0.05)
             except queue.Empty:
-                pass
-            nxt = None
-            if session is not None:
-                if session.cancelled:
-                    session.chunks.put(None)
-                else:
-                    self._admitting += 1  # GIL-atomic; tick thread reads
-                    nxt = self._dispatch_admission(session)
-                    if nxt is None:
-                        self._admitting -= 1
-            if inflight is not None:
-                self._complete_admission(inflight)
+                continue
+            if session.cancelled:
+                session.chunks.put(None)
+                continue
+            self._admitting += 1  # GIL-atomic; tick thread reads
+            inflight = self._dispatch_admission(session)
+            if inflight is None:
                 self._admitting -= 1
-            inflight = nxt
-        if inflight is not None:  # stopped mid-pipeline: never strand it
-            s = inflight[0]
-            s.error = RuntimeError("server stopped")
-            s.chunks.put(None)
+                continue
+            placed = False
+            while self._running:  # bounded: ≤2 device-resident B=1
+                try:  # states beyond _ready; block without hanging stop()
+                    self._dispatched.put(inflight, timeout=0.2)
+                    placed = True
+                    break
+                except queue.Full:
+                    continue
+            if not placed:  # stop() raced the bounded put
+                session.error = RuntimeError("server stopped")
+                session.chunks.put(None)
+                self._admitting -= 1
+
+    def _completion_loop(self):
+        """Admission pipeline stage 2 (own thread): fetch dispatched
+        first chunks in dispatch order and hand sessions to the tick
+        thread; runs concurrently with stage 1's next dispatch."""
+        while self._running:
+            try:
+                inflight = self._dispatched.get(timeout=0.05)
+            except queue.Empty:
+                continue
+            self._complete_admission(inflight)
             self._admitting -= 1
 
     def _attach(self, slot: int, item) -> None:

@@ -448,6 +448,25 @@ def main(argv=None):
         else csm_1b_spec(args.model_path, args.mimi_path, args.tokenizer)
     )
     if args.max_positions is not None:
+        # the backbone FLAVOR's max_seq_len is the trained ceiling;
+        # spec.csm.max_seq_len is only the optional serving override
+        # (None until set), so read the cap off the flavor config
+        from sesameai_tts_tpu.core.config import get_flavor
+
+        trained_cap = get_flavor(spec.csm.backbone_flavor).max_seq_len
+        if args.max_positions < 64:
+            p.error(
+                f"--max-positions must be >= 64 (got {args.max_positions}): "
+                "the backbone KV has to hold the voice context + text rows "
+                "+ generated audio frames"
+            )
+        if args.max_positions > trained_cap:
+            p.error(
+                f"--max-positions {args.max_positions} exceeds the model's "
+                f"trained position ceiling ({trained_cap}); RoPE positions "
+                "past it were never trained (the reference enforces the "
+                "same cap, generator.py:169-174)"
+            )
         spec.csm = spec.csm.replace(max_seq_len=args.max_positions)
     gen = build_generator(spec)
 

@@ -83,8 +83,10 @@ def prepare_voice_context(generator: Generator, clips: Dict[str, str],
         if len(audio) > max_clip:
             # keep the TAIL (same policy as the frame-level trim)
             logger.warning(
-                "voice clip %s (%.0f s) exceeds the codec encode window "
-                "(%.0f s); keeping the last %.0f s",
+                "voice clip %s (%.1f s) exceeds the longest usable "
+                "context clip (%.1f s — the tighter of the codec encode "
+                "window and the KV context budget); keeping the last "
+                "%.1f s",
                 path, len(audio) / generator.sample_rate,
                 max_clip / generator.sample_rate,
                 max_clip / generator.sample_rate,

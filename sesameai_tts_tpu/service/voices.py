@@ -16,13 +16,34 @@ from typing import Dict, Optional
 VoiceData = Dict[str, str]  # wav_path -> transcript
 
 
+def _is_voice_dict(obj) -> bool:
+    """A voice registry dict maps wav paths (str/PathLike) to transcript
+    strings.  Other public dicts in a samples-style module (speaker-id
+    maps, config tables, ...) are not voices and must not crash
+    discovery when their keys aren't paths."""
+    return isinstance(obj, dict) and all(
+        isinstance(k, (str, os.PathLike)) and isinstance(v, str)
+        for k, v in obj.items()
+    )
+
+
+def _resolve_clip_paths(clips: dict, base: str) -> VoiceData:
+    """Resolve relative wav paths against ``base`` (shared by the JSON
+    and samples.py sources so the two branches can't drift)."""
+    out: VoiceData = {}
+    for p, t in clips.items():
+        p = os.fspath(p)
+        out[p if os.path.isabs(p) else os.path.join(base, p)] = t
+    return out
+
+
 def discover_from_module(module) -> Dict[str, VoiceData]:
     """Reflect public dict attributes of a samples-style module
     (reference tts_service.py:37-42)."""
     return {
         name: obj
         for name, obj in vars(module).items()
-        if not name.startswith("__") and isinstance(obj, dict)
+        if not name.startswith("__") and _is_voice_dict(obj)
     }
 
 
@@ -32,13 +53,9 @@ def discover_from_json(path: str) -> Dict[str, VoiceData]:
     with open(path) as f:
         reg = json.load(f)
     base = os.path.dirname(os.path.abspath(path))
-    out: Dict[str, VoiceData] = {}
-    for voice, clips in reg.items():
-        out[voice] = {
-            (p if os.path.isabs(p) else os.path.join(base, p)): t
-            for p, t in clips.items()
-        }
-    return out
+    return {
+        voice: _resolve_clip_paths(clips, base) for voice, clips in reg.items()
+    }
 
 
 def discover_from_dir(root: str) -> Dict[str, VoiceData]:
@@ -89,10 +106,7 @@ def load_registry(spec: Optional[str] = None) -> Dict[str, VoiceData]:
         # ``--voices /path/to/checkout/samples.py`` works from anywhere.
         base = os.path.dirname(os.path.abspath(spec))
         return {
-            voice: {
-                (p if os.path.isabs(p) else os.path.join(base, p)): t
-                for p, t in clips.items()
-            }
+            voice: _resolve_clip_paths(clips, base)
             for voice, clips in reg.items()
         }
     return discover_from_dir(spec)

@@ -226,6 +226,43 @@ def test_one_frame_session_completes_at_admission(server):
     assert m["sessions_total"] >= 1
 
 
+def test_blocked_dispatch_does_not_delay_completion(server):
+    """Dispatch and completion run on SEPARATE threads: a dispatch that
+    blocks (a first-use prefill bucket is a minutes-long remote compile
+    on the target platform) must not delay delivering a first chunk the
+    device already finished for the previous session."""
+    import threading
+    import time as _time
+
+    gate = threading.Event()
+    calls = []
+    orig = server._dispatch_admission
+
+    def gated(session):
+        calls.append(session)
+        if len(calls) == 2:  # second dispatch stalls like a slow compile
+            gate.wait(timeout=60)
+        return orig(session)
+
+    server._dispatch_admission = gated
+    try:
+        a = server.submit("first session", max_audio_length_ms=480,
+                          temperature=0.8, topk=5)
+        b = server.submit("second session", max_audio_length_ms=480,
+                          temperature=0.8, topk=5)
+        deadline = _time.monotonic() + 120
+        while a.first_audio_at is None and _time.monotonic() < deadline:
+            _time.sleep(0.01)
+        # A's first audio arrived while B's dispatch is still blocked
+        assert a.first_audio_at is not None
+        assert not gate.is_set()
+    finally:
+        gate.set()
+        server._dispatch_admission = orig
+    assert a.audio(timeout=300).dtype == np.float32
+    assert b.audio(timeout=300).dtype == np.float32
+
+
 def test_admission_error_between_healthy_sessions(server):
     """A dispatch failure mid-pipeline must not strand the in-flight
     healthy admission on either side (the admission loop pipelines:
