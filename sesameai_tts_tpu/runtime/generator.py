@@ -324,6 +324,139 @@ class Generator:
         self._mimi_decode = mimi_decode
         self._mimi_decode_stream = mimi_decode_stream
 
+    # -- warmup ---------------------------------------------------------------
+
+    def warmup(
+        self,
+        serving_batch: Optional[int] = None,
+        tick_sizes: Sequence[int] = (),
+        stream: bool = True,
+        offline: bool = False,
+        offline_budget_frames: int = 1125,  # 90 s default generate() budget
+    ) -> dict:
+        """Compile every program a live request can first-trigger, BEFORE
+        traffic arrives.
+
+        On this remote-attached platform a first-use compile is a
+        minutes-long round trip through the compile service; without a
+        warmup pass the unlucky first request per (prefill bucket ×
+        tick size × first-chunk × finalize) shape pays it live — the
+        round-3 bench recorded a 103 s p95 TTFA from exactly this.  The
+        reference's warm-up is a single throwaway utterance
+        (tts_service.py:118-119), which only touches ONE prefill bucket;
+        this pass enumerates the shape set:
+
+        * prefill + extend at every prompt bucket that fits the KV cache
+          (fresh and cached-context prefills share these programs — the
+          cache key is the padded token shape, not the state contents)
+        * the first-audio program (``_first_chunk``)
+        * the fused streaming tick at B=1 (``generate_stream``'s path)
+        * with ``serving_batch``/``tick_sizes``: the serving pool's fused
+          tick programs at B=slots for each tick size
+        * with ``offline``: the ramped offline decode chunk sizes
+
+        All inputs are throwaway buffers — donation never touches caller
+        state.  Returns {program_name: seconds} (compile-dominated on
+        first run; ~ms once the persistent cache is hot).
+        """
+        K = self._cfg.audio_num_codebooks
+        times: dict = {}
+
+        def _timed(name, fn):
+            t0 = time.perf_counter()
+            out = fn()
+            jax.block_until_ready(out)
+            times[name] = time.perf_counter() - t0
+            return out
+
+        key = jax.random.PRNGKey(0)
+        temp1, topk1 = jnp.float32(0.8), 40
+        for b in self._prefill_buckets:
+            if b > self._max_seq_len:
+                break
+            S = min(8, b)
+            tok = jnp.zeros((1, b, K + 1), jnp.int32)
+            msk = jnp.zeros((1, b, K + 1), bool).at[:, :S, K].set(True)
+            vl = jnp.asarray([S], jnp.int32)
+            _timed(
+                f"prefill_{b}",
+                lambda: self._prefill(
+                    self._prefill_params, self._init_state(1), tok, msk, vl,
+                    key, temp1, topk1,
+                ),
+            )
+            _timed(
+                f"extend_{b}",
+                lambda: self._extend(
+                    self._prefill_params, self._init_state(1), tok, msk, vl
+                ),
+            )
+
+        frame1 = jnp.zeros((1, K), jnp.int32)
+        done1 = jnp.asarray([False])
+        _timed(
+            "first_chunk",
+            lambda: self._first_chunk(
+                self._mimi_params, frame1, done1,
+                self._mimi.init_decode_state(1, self._mimi_dtype),
+            ),
+        )
+
+        def _tick(B, n, temperature, topk, start=None):
+            # argument TYPES must match the live call sites exactly —
+            # scalar vs (B,) sampling params and weak- vs strong-typed
+            # start each key a distinct program
+            kwargs = {} if start is None else {"start": start}
+            return self._decode_mimi_packed(
+                self._params, self._mimi_params, self._init_state(B),
+                self._mimi.init_decode_state(B, self._mimi_dtype),
+                jnp.zeros((B, K), jnp.int32), jnp.zeros((B,), bool),
+                key, n, temperature, topk, **kwargs,
+            )
+
+        if stream:
+            # generate_stream's fused chunk: scalar params, traced start
+            _timed(
+                f"stream_tick_{self._decode_chunk_frames}",
+                lambda: _tick(1, self._decode_chunk_frames, temp1, topk1,
+                              start=jnp.int32(1)),
+            )
+        if serving_batch:
+            tb = jnp.ones((serving_batch,), jnp.float32)
+            kb = jnp.ones((serving_batch,), jnp.int32)
+            for n in sorted(set(tick_sizes)):
+                _timed(
+                    f"serve_tick_b{serving_batch}_n{n}",
+                    lambda: _tick(serving_batch, n, tb, kb),
+                )
+        if offline:
+            # offline generate(): ramped decode chunks + the packed
+            # lag-1 fetch program (finalize buckets stay shape-dependent
+            # on the audio length and are not enumerated here)
+            sizes, n, seen = [], self._offline_chunk_frames, 0
+            while seen < offline_budget_frames:
+                sizes.append(n)
+                seen += n
+                n = min(n * 2, 200)
+            for n in sorted(set(sizes)):
+                _timed(
+                    f"offline_chunk_{n}",
+                    lambda: self._decode_packed(
+                        self._params, self._init_state(1),
+                        jnp.zeros((1, K), jnp.int32), jnp.zeros((1,), bool),
+                        key, n, temp1, topk1, jnp.int32(1),
+                    ),
+                )
+        total = sum(times.values())
+        log.info(
+            "warmup: %d programs in %.1fs (slowest: %s)", len(times), total,
+            ", ".join(
+                f"{k}={v:.1f}s"
+                for k, v in sorted(times.items(), key=lambda kv: -kv[1])[:3]
+            ),
+        )
+        return times
+
     def _encode_audio(self, audio: np.ndarray) -> np.ndarray:
         """(T,) float32 → (K, F) codes (frames.pad_audio_to_frame_bucket)."""
         wav, frames = pad_audio_to_frame_bucket(audio, self._hop)

@@ -236,6 +236,44 @@ class BatchedTTSServer:
 
     # -- public API -----------------------------------------------------------
 
+    def warmup(self) -> dict:
+        """Compile the full serve-path program set before traffic.
+
+        Covers everything a live request can first-trigger (each a
+        minutes-long remote compile on this platform if paid live):
+        every prefill bucket, the first-audio program, the fused tick at
+        B=slots for both scheduler tick sizes ({chunk, 3}), and the
+        slot-scatter/mark-done programs.  All warmup inputs are
+        throwaway buffers, so it is safe on a running (idle) server —
+        but the intended call site is serve-start, before the port
+        binds.  Returns {program: seconds}."""
+        gen = self.gen
+        times = gen.warmup(
+            serving_batch=self.B, tick_sizes={self.chunk, 3}, stream=False,
+        )
+        K = gen._cfg.audio_num_codebooks
+        t0 = time.perf_counter()
+        # scatter programs donate the batched side: warm on throwaways
+        b_state, s_state = gen._init_state(self.B), gen._init_state(1)
+        out = self._scatter_slot(
+            b_state, s_state, jnp.zeros((1, K), jnp.int32),
+            jnp.asarray([False]), jnp.zeros((self.B, K), jnp.int32),
+            jnp.ones((self.B,), bool), jnp.int32(0),
+        )
+        jax.block_until_ready(out)
+        times["scatter_slot"] = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        ms_b = gen._mimi.init_decode_state(self.B, gen._mimi_dtype)
+        ms_1 = gen._mimi.init_decode_state(1, gen._mimi_dtype)
+        jax.block_until_ready(self._scatter_mimi(ms_b, ms_1, jnp.int32(0)))
+        times["scatter_mimi"] = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        jax.block_until_ready(
+            self._mark_done(jnp.ones((self.B,), bool), jnp.int32(0))
+        )
+        times["mark_done"] = time.perf_counter() - t0
+        return times
+
     def submit(self, text: str, **kw) -> Session:
         s = Session(text=text, **kw)
         with self._lock:  # atomic with stop()'s _running flip: a session

@@ -430,6 +430,16 @@ def main(argv=None):
     p.add_argument("--tokenizer", default="byte")
     p.add_argument("--voices", default=None, help="voice directory root")
     p.add_argument("--flavor", default="csm-1b", choices=["csm-1b", "test-tiny"])
+    p.add_argument("--warmup", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="compile the full serve-path program set (every "
+                        "prefill bucket, first-chunk, both tick sizes, "
+                        "slot scatters) BEFORE binding the port. Default "
+                        "on: first-use compiles are minutes-long remote "
+                        "round trips on this platform and would otherwise "
+                        "land on live requests (a measured 103 s p95 TTFA "
+                        "in round 3 was one). --no-warmup restores "
+                        "lazy compilation for dev loops")
     p.add_argument("--max-positions", type=int, default=None,
                    help="backbone KV capacity in rows (default: model "
                         "max, 2048). The decode step streams the whole "
@@ -498,6 +508,15 @@ def main(argv=None):
     engine = BatchedTTSServer(gen, slots=args.slots,
                               chunk_frames=args.chunk_frames)
     logger.info("scheduler tick: %d frames", args.chunk_frames)
+    if args.warmup:
+        import time as _time
+
+        t0 = _time.time()
+        times = engine.warmup()
+        logger.info(
+            "warmup: %d programs compiled in %.1fs — cold-start requests "
+            "now run warm", len(times), _time.time() - t0,
+        )
     engine.start()
     httpd = serve(engine, args.host, args.port, voices, gen.sample_rate,
                   watermarker=wm, model_name=args.flavor)

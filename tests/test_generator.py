@@ -31,6 +31,23 @@ def test_generate_produces_audio(gen):
     assert np.isfinite(audio).all()
 
 
+def test_warmup_stream_and_offline_paths(gen):
+    """Generator.warmup covers the single-stream program set: the fused
+    streaming tick and the offline ramp (decode_chunk=4 → ramp 4,8,16,…)."""
+    times = gen.warmup(offline=True, offline_budget_frames=60)
+    names = set(times)
+    assert f"stream_tick_{gen._decode_chunk_frames}" in names
+    # ramp from the offline base, doubled until the budget is covered
+    base = gen._offline_chunk_frames
+    assert f"offline_chunk_{base}" in names
+    assert any(k.startswith("offline_chunk_") and k != f"offline_chunk_{base}"
+               for k in names)
+    # generation still works (warmup used throwaway buffers only)
+    audio = gen.generate("post warmup", 1, [], max_audio_length_ms=400,
+                         temperature=0.8, topk=5)
+    assert np.isfinite(audio).all()
+
+
 def test_stream_matches_offline_frames(gen):
     """Same PRNG seed ⇒ identical frames; streaming chunks concatenate to
     the same PCM as the offline Mimi decode (streaming==offline codec)."""

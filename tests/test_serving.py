@@ -32,6 +32,29 @@ def test_concurrent_sessions_complete(server):
         assert audio.shape[0] == total_frames * hop
 
 
+def test_warmup_covers_serve_program_set(server):
+    """warmup() touches every live-triggerable program class and leaves a
+    running pool fully functional (throwaway buffers only — VERDICT r3 #1:
+    first-use compiles must never land on live requests)."""
+    times = server.warmup()
+    names = set(times)
+    assert "first_chunk" in names
+    assert {"scatter_slot", "scatter_mimi", "mark_done"} <= names
+    # every prefill bucket that fits the tiny KV cache (256) is compiled
+    buckets = {b for b in server.gen._prefill_buckets
+               if b <= server.gen.max_seq_len}
+    assert {f"prefill_{b}" for b in buckets} <= names
+    assert {f"extend_{b}" for b in buckets} <= names
+    # both scheduler tick sizes at the pool batch
+    assert {f"serve_tick_b{server.B}_n{n}"
+            for n in {server.chunk, 3}} <= names
+    assert all(v >= 0 for v in times.values())
+    # the pool still serves correctly after warmup
+    s = server.submit("after warmup", max_audio_length_ms=400, topk=5)
+    audio = s.audio(timeout=300)
+    assert audio.dtype == np.float32
+
+
 def test_tick_failure_recovery_rebuilds_pool(server):
     """One transient tick failure must not kill the backlog: slot-attached
     sessions error out, the pool device state is rebuilt, and subsequent
