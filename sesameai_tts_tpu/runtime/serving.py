@@ -33,6 +33,17 @@ from sesameai_tts_tpu.models import csm as csm_model
 from sesameai_tts_tpu.runtime.generator import FRAME_MS, Generator
 
 
+class ServerSaturated(RuntimeError):
+    """Raised by non-blocking submit when the admission backlog is full.
+
+    The HTTP front end maps this to 429 + Retry-After; in-process
+    callers either catch it or use the default blocking submit."""
+
+    def __init__(self, msg: str, retry_after_s: float = 1.0):
+        super().__init__(msg)
+        self.retry_after_s = retry_after_s
+
+
 @dataclass
 class Session:
     """One TTS request; audio chunks arrive on ``chunks`` (None = end).
@@ -102,7 +113,7 @@ class BatchedTTSServer:
     """
 
     def __init__(self, generator: Generator, slots: int = 4,
-                 chunk_frames: int = 10):
+                 chunk_frames: int = 10, max_pending: Optional[int] = None):
         # the tick runs ONE fused program over model + codec; a
         # codec_device split would hand it mixed-device inputs.
         # A real raise, not an assert — python -O would otherwise let the
@@ -120,7 +131,16 @@ class BatchedTTSServer:
         self._topk = np.ones(slots, np.int32)
         self._sessions: List[Optional[Session]] = [None] * slots
         self._reset_pool_state()
-        self._pending: "queue.Queue[Session]" = queue.Queue()
+        # admission backlog. ``max_pending`` bounds it (backpressure):
+        # a full backlog makes non-blocking submits raise ServerSaturated
+        # (HTTP 429) instead of queueing unboundedly — a burst of
+        # max-length requests must not accumulate hung listeners behind
+        # minutes of decode (VERDICT r3 #5). None = unbounded (library
+        # callers that want the old fire-and-wait behavior).
+        self.max_pending = max_pending
+        self._pending: "queue.Queue[Session]" = queue.Queue(
+            maxsize=max_pending or 0
+        )
         # (device pool state lives in _reset_pool_state so the tick-loop
         # recovery path can rebuild it after a failed donated dispatch)
         # admissions in flight on the worker thread (prefill running or
@@ -274,16 +294,40 @@ class BatchedTTSServer:
         times["mark_done"] = time.perf_counter() - t0
         return times
 
-    def submit(self, text: str, **kw) -> Session:
+    def submit(self, text: str, wait: bool = True, **kw) -> Session:
+        """Enqueue one request.  ``wait=False`` raises ServerSaturated
+        instead of blocking when the bounded backlog (``max_pending``)
+        is full — the HTTP front end's 429 path."""
         s = Session(text=text, **kw)
-        with self._lock:  # atomic with stop()'s _running flip: a session
-            # must never be enqueued after the final drain (its listener
-            # would block forever on a queue no thread consumes)
-            if not self._running:
-                raise RuntimeError("server is not running (call start())")
-            self._sessions_total += 1
-            self._pending.put(s)
-        return s
+        while True:
+            with self._lock:  # atomic with stop()'s _running flip: a session
+                # must never be enqueued after the final drain (its listener
+                # would block forever on a queue no thread consumes)
+                if not self._running:
+                    raise RuntimeError("server is not running (call start())")
+                try:
+                    self._pending.put_nowait(s)
+                    self._sessions_total += 1
+                    return s
+                except queue.Full:
+                    if not wait:
+                        raise ServerSaturated(
+                            f"admission backlog full ({self.max_pending} "
+                            f"queued, {self.B} slots)",
+                            retry_after_s=self._retry_after_estimate(),
+                        ) from None
+            # blocking path: poll outside the lock so stop() can flip
+            # _running (put(block=True) under the lock would deadlock it)
+            time.sleep(0.005)
+
+    def _retry_after_estimate(self) -> float:
+        """Seconds until the backlog likely has room: queued work divided
+        by the pool's session turnover (median observed session time per
+        slot), clamped to a sane [1, 30] advisory range."""
+        sess = self.metrics.summary().get("session_s", {})
+        per = float(sess.get("p50", 2.0)) or 2.0
+        q = self._pending.qsize()
+        return float(min(30.0, max(1.0, q * per / max(self.B, 1))))
 
     def synthesize_batch(
         self,

@@ -32,13 +32,14 @@ import json
 import logging
 import math
 import threading
+import time
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from typing import Optional
 
 import numpy as np
 
 from sesameai_tts_tpu.audio.io import write_wav
-from sesameai_tts_tpu.runtime.serving import BatchedTTSServer
+from sesameai_tts_tpu.runtime.serving import BatchedTTSServer, ServerSaturated
 
 logger = logging.getLogger(__name__)
 
@@ -72,6 +73,10 @@ class TTSRequestHandler(BaseHTTPRequestHandler):
     sample_rate: int = 24_000
     max_text_len: int = 4096
     model_name: str = "csm-1b"  # advertised on /v1/models
+    # per-request deadline (seconds, TOTAL — not per chunk gap): on
+    # expiry the session is cancelled so its slot stops burning budget
+    # for a client that already got the error
+    request_timeout: float = 600.0
 
     def log_message(self, fmt, *args):  # route through logging, not stderr
         logger.info("%s %s", self.address_string(), fmt % args)
@@ -86,11 +91,13 @@ class TTSRequestHandler(BaseHTTPRequestHandler):
             self._error(400, f"invalid request body: {e}")
             return None
 
-    def _error(self, code: int, msg: str):
+    def _error(self, code: int, msg: str, retry_after: Optional[float] = None):
         payload = json.dumps({"error": msg}).encode()
         self.send_response(code)
         self.send_header("Content-Type", "application/json")
         self.send_header("Content-Length", str(len(payload)))
+        if retry_after is not None:
+            self.send_header("Retry-After", str(max(1, int(round(retry_after)))))
         self.end_headers()
         self.wfile.write(payload)
 
@@ -135,14 +142,20 @@ class TTSRequestHandler(BaseHTTPRequestHandler):
             self._error(400, "max_audio_length_ms must be a finite number > 0")
             return None
         try:
+            # non-blocking submit: a full admission backlog is prompt
+            # backpressure (429 + Retry-After), never a hung listener
             return self.engine.submit(
                 text.strip(),
+                wait=False,
                 speaker=speaker,
                 max_audio_length_ms=max_ms,
                 temperature=temperature,
                 topk=topk,
                 cached_context=cached,
             )
+        except ServerSaturated as e:
+            self._error(429, f"server saturated: {e}", retry_after=e.retry_after_s)
+            return None
         except Exception as e:
             self._error(400, f"bad parameters: {e}")
             return None
@@ -190,7 +203,7 @@ class TTSRequestHandler(BaseHTTPRequestHandler):
 
         if self.path == "/tts":
             try:
-                audio = session.audio(timeout=600)
+                audio = session.audio(timeout=self.request_timeout)
             except Exception as e:
                 # a timeout leaves the session still decoding: cancel it so
                 # the slot doesn't keep burning its full max_audio_length_ms
@@ -254,9 +267,16 @@ class TTSRequestHandler(BaseHTTPRequestHandler):
             raw = np.concatenate(chunks).astype(np.float32)
             send(self._maybe_watermark(raw).astype(np.float32))
 
+        deadline = time.monotonic() + self.request_timeout
         try:
             while True:
-                chunk = session.chunks.get(timeout=600)
+                rem = deadline - time.monotonic()
+                if rem <= 0:
+                    raise TimeoutError(
+                        f"request deadline ({self.request_timeout:.0f}s) "
+                        "exceeded"
+                    )
+                chunk = session.chunks.get(timeout=rem)
                 if chunk is None:
                     break
                 pcm = np.asarray(chunk, np.float32)
@@ -347,7 +367,7 @@ class TTSRequestHandler(BaseHTTPRequestHandler):
         if session is None:
             return
         try:
-            audio = session.audio(timeout=600)
+            audio = session.audio(timeout=self.request_timeout)
         except Exception as e:
             session.cancel()  # free the slot (same invariant as /tts)
             self._error(500, f"generation failed: {e}")
@@ -392,16 +412,20 @@ class TTSRequestHandler(BaseHTTPRequestHandler):
 def serve(engine: BatchedTTSServer, host: str = "0.0.0.0", port: int = 8080,
           voices: Optional[dict] = None,
           sample_rate: int = 24_000,
-          watermarker=None, model_name: str = "csm-1b") -> ThreadingHTTPServer:
+          watermarker=None, model_name: str = "csm-1b",
+          request_timeout: float = 600.0) -> ThreadingHTTPServer:
     """Start the HTTP front end (returns the server; call .shutdown()).
 
     ``watermarker``: optional (Watermarker, key) pair — REQUIRED for
     flagship deployments so the public endpoint never emits
-    unwatermarked audio (the CLI enforces the same invariant)."""
+    unwatermarked audio (the CLI enforces the same invariant).
+    ``request_timeout``: total per-request deadline; an expired request
+    gets a 500/truncated stream and its session is cancelled."""
     handler = type(
         "BoundHandler", (TTSRequestHandler,),
         {"engine": engine, "voices": voices or {}, "sample_rate": sample_rate,
-         "watermarker": watermarker, "model_name": model_name},
+         "watermarker": watermarker, "model_name": model_name,
+         "request_timeout": request_timeout},
     )
     httpd = ThreadingHTTPServer((host, port), handler)
     threading.Thread(target=httpd.serve_forever, daemon=True).start()
@@ -411,6 +435,14 @@ def serve(engine: BatchedTTSServer, host: str = "0.0.0.0", port: int = 8080,
 
 def main(argv=None):
     import argparse
+
+    # the serve CLI is an operator surface: its startup progress (model
+    # build, voice preload, warmup timings, port bind) must be visible
+    # without the caller configuring logging first
+    logging.basicConfig(
+        level=logging.INFO,
+        format="%(asctime)s %(name)s %(levelname)s %(message)s",
+    )
 
     p = argparse.ArgumentParser(description="CSM TTS HTTP server (TPU)")
     p.add_argument("--host", default="0.0.0.0")
@@ -430,6 +462,14 @@ def main(argv=None):
     p.add_argument("--tokenizer", default="byte")
     p.add_argument("--voices", default=None, help="voice directory root")
     p.add_argument("--flavor", default="csm-1b", choices=["csm-1b", "test-tiny"])
+    p.add_argument("--max-pending", type=int, default=None,
+                   help="admission backlog bound (default: 4x slots). A "
+                        "full backlog returns 429 + Retry-After instead "
+                        "of queueing requests unboundedly behind minutes "
+                        "of decode. 0 = unbounded")
+    p.add_argument("--request-timeout", type=float, default=600.0,
+                   help="total per-request deadline in seconds; expired "
+                        "requests are cancelled and their slot freed")
     p.add_argument("--warmup", action=argparse.BooleanOptionalAction,
                    default=True,
                    help="compile the full serve-path program set (every "
@@ -505,9 +545,13 @@ def main(argv=None):
         # ~45% tighter TTFA tail with 5-frame ticks (measured; see
         # --chunk-frames help) — the right default for a serving box
         args.chunk_frames = 10 if args.slots <= 8 else 5
+    if args.max_pending is None:
+        args.max_pending = 4 * args.slots
     engine = BatchedTTSServer(gen, slots=args.slots,
-                              chunk_frames=args.chunk_frames)
-    logger.info("scheduler tick: %d frames", args.chunk_frames)
+                              chunk_frames=args.chunk_frames,
+                              max_pending=args.max_pending or None)
+    logger.info("scheduler tick: %d frames, backlog bound %s",
+                args.chunk_frames, args.max_pending or "unbounded")
     if args.warmup:
         import time as _time
 
@@ -519,7 +563,8 @@ def main(argv=None):
         )
     engine.start()
     httpd = serve(engine, args.host, args.port, voices, gen.sample_rate,
-                  watermarker=wm, model_name=args.flavor)
+                  watermarker=wm, model_name=args.flavor,
+                  request_timeout=args.request_timeout)
     try:
         threading.Event().wait()
     except KeyboardInterrupt:
