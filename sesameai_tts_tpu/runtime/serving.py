@@ -294,6 +294,53 @@ class BatchedTTSServer:
         times["mark_done"] = time.perf_counter() - t0
         return times
 
+    def link_canary(self, reps: int = 3) -> dict:
+        """Drift canary: time the ALREADY-COMPILED tick program + the
+        host↔device round trip, so operators (and benches) can tell
+        "code regressed" from "the shared TPU service is in a slow
+        phase" in one call — this platform drifts 6-20% run-to-run
+        (PARITY.md).  Healthy v5e reference points: rtt ~30 ms,
+        B=16/n=10 tick ~11-12 ms/frame-step.  Runs on throwaway buffers
+        (never touches the live pool state) but does share the device
+        queue: a deep health check during heavy traffic measures
+        traffic too, by design.  Exposed as GET /healthz?deep=1."""
+        gen = self.gen
+        K = gen._cfg.audio_num_codebooks
+        rtt = gen._probe_rtt()
+        n = self.chunk
+        state = gen._init_state(self.B)
+        ms = gen._mimi.init_decode_state(self.B, gen._mimi_dtype)
+        prev = jnp.zeros((self.B, K), jnp.int32)
+        done = jnp.zeros((self.B,), bool)
+        tb = jnp.ones((self.B,), jnp.float32)
+        kb = jnp.ones((self.B,), jnp.int32) * 5
+        key = jax.random.PRNGKey(0)
+        # same program as the live tick (same shapes/dtypes) — compiled
+        # by warmup or by traffic; one warm rep, then timed chained reps
+        # with a single trailing fetch (dispatch-timing micro-benchmarks
+        # lie on this platform; many-reps + one fetch is the method that
+        # measures real execution)
+        packed, prev, done, state, ms = gen._decode_mimi_packed(
+            gen._params, gen._mimi_params, state, ms, prev, done, key, n,
+            tb, kb,
+        )
+        np.asarray(packed[-1])
+        t0 = time.perf_counter()
+        for _ in range(reps):
+            packed, prev, done, state, ms = gen._decode_mimi_packed(
+                gen._params, gen._mimi_params, state, ms, prev, done, key, n,
+                tb, kb,
+            )
+        np.asarray(packed[-1])
+        dt = time.perf_counter() - t0
+        return {
+            "rtt_ms": round(rtt * 1e3, 2),
+            "tick_ms_per_frame_step": round(dt / reps / n * 1e3, 3),
+            "tick_frames_per_s": round(self.B * n * reps / dt, 1),
+            "tick_batch": self.B,
+            "tick_frames": n,
+        }
+
     def submit(self, text: str, wait: bool = True, **kw) -> Session:
         """Enqueue one request.  ``wait=False`` raises ServerSaturated
         instead of blocking when the bounded backlog (``max_pending``)

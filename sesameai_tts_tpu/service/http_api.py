@@ -161,11 +161,20 @@ class TTSRequestHandler(BaseHTTPRequestHandler):
             return None
 
     def do_GET(self):
-        if self.path == "/healthz":
-            payload = json.dumps(
-                {"status": "ok", "slots": self.engine.B,
-                 "voices": sorted(self.voices)}
-            ).encode()
+        if self.path.split("?", 1)[0] == "/healthz":
+            info = {"status": "ok", "slots": self.engine.B,
+                    "voices": sorted(self.voices)}
+            if "deep=1" in self.path.partition("?")[2].split("&"):
+                # drift canary: times the compiled tick program + link
+                # RTT so "code regressed" and "shared TPU service is in
+                # a slow phase" are distinguishable in one call
+                # (docs/SERVING.md; this platform drifts 6-20%)
+                try:
+                    info["canary"] = self.engine.link_canary()
+                except Exception as e:
+                    info["status"] = "degraded"
+                    info["canary_error"] = repr(e)
+            payload = json.dumps(info).encode()
         elif self.path == "/v1/models":
             # OpenAI client compatibility: SDKs list models before use
             payload = json.dumps({

@@ -50,6 +50,21 @@ def test_healthz(api):
     assert info["voices"] == ["demo"]
 
 
+def test_healthz_deep_canary(api):
+    """/healthz?deep=1 returns the drift canary: link RTT + timed tick
+    program, so operators can tell code regressions from TPU-service
+    drift (VERDICT r3 #10)."""
+    base, _ = api
+    with urllib.request.urlopen(base + "/healthz?deep=1", timeout=300) as r:
+        info = json.loads(r.read())
+    assert info["status"] == "ok"
+    c = info["canary"]
+    assert c["rtt_ms"] >= 0
+    assert c["tick_ms_per_frame_step"] > 0
+    assert c["tick_frames_per_s"] > 0
+    assert c["tick_batch"] == 2 and c["tick_frames"] == 4
+
+
 def test_metrics_endpoint(api):
     """/metrics reports engine counters + TTFA percentiles after traffic."""
     base, _ = api
