@@ -41,20 +41,46 @@ class ModelSpec:
     quantize: Optional[str] = None  # None | 'int8' | 'int4' (weight-only trunks)
 
 
+def resolve_tokenizer(tokenizer: Optional[str],
+                      csm_checkpoint: Optional[str]) -> str:
+    """``None`` = auto-infer: a checkpoint directory shipping
+    ``tokenizer.json`` (the HF layout sesame/csm-1b distributes,
+    reference generator.py:29-36) supplies the tokenizer with zero
+    flags; weightless runs fall back to the byte tokenizer.  An
+    explicit value always wins."""
+    if tokenizer is not None:
+        return tokenizer
+    if csm_checkpoint:
+        import os
+
+        d = (csm_checkpoint if os.path.isdir(csm_checkpoint)
+             else os.path.dirname(csm_checkpoint))
+        tj = os.path.join(d, "tokenizer.json")
+        if os.path.isfile(tj):
+            import logging
+
+            logging.getLogger(__name__).info(
+                "tokenizer auto-inferred from checkpoint layout: %s", tj
+            )
+            return tj
+    return "byte"
+
+
 def csm_1b_spec(
     csm_checkpoint: Optional[str] = None,
     mimi_checkpoint: Optional[str] = None,
-    tokenizer: str = "byte",
+    tokenizer: Optional[str] = None,
     quantize: Optional[str] = "int8",
 ) -> ModelSpec:
     """Flagship spec. Weight-only int8 trunks are the default serving
     dtype — measured ~2× faster per-parameter streaming with near-lossless
     per-channel quantization; pass ``quantize=None`` for pure bf16.
     The Mimi codec runs bf16 (convs hit the MXU at full rate; PCM is
-    produced in f32)."""
+    produced in f32).  ``tokenizer=None`` auto-infers from the
+    checkpoint layout (resolve_tokenizer)."""
     return ModelSpec(
         csm=csm_1b(), mimi=MimiConfig(),
-        tokenizer=tokenizer,
+        tokenizer=resolve_tokenizer(tokenizer, csm_checkpoint),
         csm_checkpoint=csm_checkpoint, mimi_checkpoint=mimi_checkpoint,
         quantize=quantize, mimi_dtype=jnp.bfloat16,
     )
@@ -120,7 +146,7 @@ def build_generator(spec: ModelSpec, **gen_kwargs) -> Generator:
 def load_csm_1b(
     csm_checkpoint: Optional[str] = None,
     mimi_checkpoint: Optional[str] = None,
-    tokenizer: str = "byte",
+    tokenizer: Optional[str] = None,
     **gen_kwargs,
 ) -> Generator:
     """Name-compatible entry point (reference generator.py:330)."""

@@ -32,8 +32,11 @@ def main(argv=None):
                         help="Local CSM checkpoint (.safetensors/.pt); random init if omitted")
     parser.add_argument("--mimi-path", type=str, default=None,
                         help="Local Mimi checkpoint (orbax dir)")
-    parser.add_argument("--tokenizer", type=str, default="byte",
-                        help="'byte', 'tiny', or a local tokenizer.json path")
+    parser.add_argument("--tokenizer", type=str, default=None,
+                        help="'byte', 'tiny', or a local tokenizer.json "
+                             "path. Default: auto — a --model-path dir "
+                             "shipping tokenizer.json supplies it; "
+                             "weightless runs fall back to 'byte'")
     parser.add_argument("--voices", type=str, default=None,
                         help="Voice registry: samples.py path, JSON, or directory")
     parser.add_argument("--flavor", type=str, default="csm-1b",

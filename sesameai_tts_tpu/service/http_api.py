@@ -468,7 +468,11 @@ def main(argv=None):
                         "chunk 3 = 420 f/s, 95/115 ms)")
     p.add_argument("--model-path", default=None)
     p.add_argument("--mimi-path", default=None)
-    p.add_argument("--tokenizer", default="byte")
+    p.add_argument("--tokenizer", default=None,
+                   help="'byte', 'tiny', or a local tokenizer.json path. "
+                        "Default: auto — a --model-path dir shipping "
+                        "tokenizer.json (HF layout) supplies it; "
+                        "weightless runs fall back to 'byte'")
     p.add_argument("--voices", default=None, help="voice directory root")
     p.add_argument("--flavor", default="csm-1b", choices=["csm-1b", "test-tiny"])
     p.add_argument("--max-pending", type=int, default=None,

@@ -44,10 +44,17 @@ def main(argv=None) -> int:
                         "weights (harness self-test; codec check will FAIL "
                         "by design on random weights)")
     args = p.parse_args(argv)
-    if args.flavor == "csm-1b" and not (args.model_path and args.mimi_path
-                                        and args.tokenizer):
-        p.error("--model-path, --mimi-path and --tokenizer are required "
-                "for the csm-1b flavor")
+    if args.flavor == "csm-1b":
+        if not (args.model_path and args.mimi_path):
+            p.error("--model-path and --mimi-path are required for the "
+                    "csm-1b flavor")
+        from sesameai_tts_tpu.runtime.loader import resolve_tokenizer
+
+        args.tokenizer = resolve_tokenizer(args.tokenizer, args.model_path)
+        if args.tokenizer == "byte":
+            p.error("no tokenizer found: pass --tokenizer, or ship "
+                    "tokenizer.json next to the model checkpoint "
+                    "(the HF layout)")
 
     results = []
 

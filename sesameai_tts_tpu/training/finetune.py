@@ -346,7 +346,9 @@ def main(argv=None):
     p.add_argument("--flavor", default="csm-1b", choices=["csm-1b", "test-tiny"])
     p.add_argument("--csm-checkpoint", default=None)
     p.add_argument("--mimi-checkpoint", default=None)
-    p.add_argument("--tokenizer", default="byte")
+    p.add_argument("--tokenizer", default=None,
+                   help="default: auto-inferred from the checkpoint dir's "
+                        "tokenizer.json, else 'byte'")
     p.add_argument("--steps", type=int, default=100)
     p.add_argument("--batch-size", type=int, default=4)
     p.add_argument("--accum-steps", type=int, default=1)

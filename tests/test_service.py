@@ -250,3 +250,24 @@ def test_smoke_harness_tiny_selftest(capsys):
     assert "[PASS] watermark" in out
     assert "[FAIL] codec" in out  # random weights: the gate works
     assert rc == 1  # failing checks propagate to the exit code
+
+
+def test_resolve_tokenizer_auto(tmp_path):
+    """tokenizer=None auto-infers from the checkpoint layout: a dir (or a
+    checkpoint file's parent) shipping tokenizer.json supplies it; a
+    weightless or tokenizer-less run falls back to 'byte'; explicit
+    values always win (VERDICT r3 #7 — real-weights serve needs zero
+    tokenizer flags)."""
+    from sesameai_tts_tpu.runtime.loader import resolve_tokenizer
+
+    assert resolve_tokenizer("tiny", str(tmp_path)) == "tiny"
+    assert resolve_tokenizer("byte", str(tmp_path)) == "byte"
+    assert resolve_tokenizer(None, None) == "byte"
+    assert resolve_tokenizer(None, str(tmp_path)) == "byte"
+    tj = tmp_path / "tokenizer.json"
+    tj.write_text("{}")
+    assert resolve_tokenizer(None, str(tmp_path)) == str(tj)
+    # a checkpoint FILE resolves against its parent directory
+    assert resolve_tokenizer(
+        None, str(tmp_path / "model.safetensors")
+    ) == str(tj)
