@@ -252,6 +252,51 @@ def test_smoke_harness_tiny_selftest(capsys):
     assert rc == 1  # failing checks propagate to the exit code
 
 
+@pytest.mark.slow
+def test_dress_rehearsal_synthetic_weights(tmp_path):
+    """The real-weights dress rehearsal (VERDICT r3 #2), pinned: generate
+    layout-exact synthetic upstream artifacts (csm dir + real-format
+    tokenizer.json, transformers-Mimi safetensors, silentcipher .pth),
+    then run the documented convert → load → generate → codec →
+    watermark → serve procedure as ONE command.  Quality checks
+    downgrade to informational via the SYNTHETIC_WEIGHTS.json marker;
+    every layout/pipeline check stays gated — so the first real-weights
+    day is a formality, not a debugging session.
+
+    Runs the two CLIs as subprocesses — exactly what a user types, and a
+    single-device CPU env (the 8-virtual-device harness topology triples
+    the wall time for no extra coverage here)."""
+    import subprocess
+    import sys as _sys
+
+    env = dict(os.environ,
+               JAX_PLATFORM_NAME="cpu", JAX_PLATFORMS="cpu",
+               JAX_COMPILATION_CACHE_DIR="/tmp/jax_test_cache")
+    env.pop("XLA_FLAGS", None)  # 1 device, not the harness's virtual 8
+    wd = str(tmp_path / "weights")
+    gen = subprocess.run(
+        [_sys.executable, "-m", "sesameai_tts_tpu.service.fixtures",
+         wd, "--flavor", "test-tiny"],
+        env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert gen.returncode == 0, gen.stderr[-2000:]
+    assert os.path.exists(os.path.join(wd, "csm-1b", "tokenizer.json"))
+
+    smoke = subprocess.run(
+        [_sys.executable, "-m", "sesameai_tts_tpu.service.smoke",
+         "--weights-dir", wd, "--flavor", "test-tiny",
+         "--text", "Dress rehearsal."],
+        env=env, capture_output=True, text=True, timeout=1200,
+    )
+    out = smoke.stdout
+    assert smoke.returncode == 0, out[-2000:] + smoke.stderr[-2000:]
+    assert "[PASS] convert" in out
+    assert "tokenizer.json" in out          # auto-inferred from the dir
+    assert "[PASS] load" in out
+    assert "[PASS] serve" in out and "watermarked: True" in out
+    assert "[FAIL]" not in out
+
+
 def test_resolve_tokenizer_auto(tmp_path):
     """tokenizer=None auto-infers from the checkpoint layout: a dir (or a
     checkpoint file's parent) shipping tokenizer.json supplies it; a
