@@ -365,3 +365,104 @@ def test_streaming_net_pipeline_shape_and_latency():
     assert abs(len(y) - len(audio)) <= 2
     assert np.isfinite(y).all()
     assert first_at is not None and first_at <= 24_000  # « 4 s groups
+
+
+@pytest.mark.slow
+def test_streaming_net_real_dims_embed_and_prefix_verify():
+    """VERDICT r3 #9: the streaming net path at the REAL silentcipher
+    grid — 44.1 kHz, n_fft 2048 (1025 bins), hop 512 (reference
+    watermarking.py:21-25 loads the 44.1k model) — every other
+    streaming-net test runs the tiny 128/32 grid.  Two halves:
+
+    1. exactness: StreamingNetEmbedder(alpha=1) == the offline
+       ``_embed_jit`` residual at real shapes (bucketing, receptive
+       field and reflect-pad handling don't rot when bins jump 17×);
+    2. prefix-verify: a deployment-shaped stream (24 kHz io through
+       ``make_streaming_net_watermarker``, default 36 dB strength)
+       meets the full phase-shift decode machinery on a ≥4 s PREFIX —
+       mirroring the DSP prefix tests — with a well-formed,
+       deterministic result.  Random-init weights cannot make message
+       recovery TRUE (that needs trained weights; the smoke harness
+       gates it the same way) — what this pins is everything else the
+       real-weight day relies on."""
+    import jax
+    import jax.numpy as jnp
+
+    from sesameai_tts_tpu.audio.resample import resample
+    from sesameai_tts_tpu.watermark.api import CSM_1B_WATERMARK
+    from sesameai_tts_tpu.watermark.net import (
+        NetWatermarker,
+        SilentCipherConfig,
+        _bucket_frames,
+        _embed_jit,
+        _frames_for,
+        init_params,
+    )
+    from sesameai_tts_tpu.watermark.stream import (
+        StreamingNetEmbedder,
+        make_streaming_net_watermarker,
+    )
+
+    cfg = SilentCipherConfig()  # the real 44.1 kHz / 2048 / 512 grid
+    assert (cfg.n_bins, cfg.hop) == (1025, 512)
+    model = NetWatermarker(init_params(cfg, jax.random.PRNGKey(0)), cfg)
+    rng = np.random.default_rng(42)
+
+    # -- 1. stream == offline at real shapes (short clip, fixed gain) ----
+    n = 37 * cfg.hop + 201  # awkward length, ~0.44 s at 44.1 kHz
+    x = (rng.normal(size=n) * 0.2).astype(np.float32)
+    frames = _bucket_frames(_frames_for(n, cfg))
+    xp = np.pad(x, (0, frames * cfg.hop - n))
+    resid_off, _, _ = _embed_jit(
+        model.params, cfg, jnp.asarray(xp),
+        jnp.asarray(CSM_1B_WATERMARK, jnp.int32), frames, jnp.int32(n),
+    )
+    resid_off = np.asarray(resid_off)[:n]
+    se = StreamingNetEmbedder(model, CSM_1B_WATERMARK, alpha=1.0)
+    outs, i = [], 0
+    while i < n:
+        c = int(rng.integers(800, 6000))
+        outs.append(se.feed(x[i : i + c]))
+        i += c
+    outs.append(se.close())
+    y = np.concatenate(outs)
+    assert len(y) == n
+    np.testing.assert_allclose(
+        y - x, resid_off, atol=5e-5 + 1e-3 * np.abs(resid_off).max()
+    )
+
+    # -- 2. deployment stream meets the verifier on a ≥4 s prefix --------
+    io_rate, dur_s = 24_000, 4.4
+    carrier = (rng.normal(size=int(io_rate * dur_s)) * 0.1).astype(np.float32)
+    pipe = make_streaming_net_watermarker(model, CSM_1B_WATERMARK, io_rate)
+    outs = [pipe.feed(carrier[i : i + 1920])
+            for i in range(0, len(carrier), 1920)]
+    outs.append(pipe.close())
+    marked = np.concatenate(outs)
+    assert abs(len(marked) - len(carrier)) <= 2
+
+    # strength lands at the configured 36 dB (vs the clean 24k→44.1k→24k
+    # round trip, isolating the residual from resampler error)
+    base = resample(resample(carrier, io_rate, cfg.sample_rate),
+                    cfg.sample_rate, io_rate)
+    m = min(len(marked), len(base))
+    noise = marked[:m] - base[:m]
+    sdr = 10 * np.log10(np.sum(base[:m] ** 2) / max(np.sum(noise**2), 1e-20))
+    assert 30.0 < sdr < 42.0, sdr
+
+    for prefix_s in (4.0, dur_s):
+        seg = resample(marked[: int(prefix_s * io_rate)], io_rate,
+                       cfg.sample_rate)
+        r = model.decode_wav(seg, cfg.sample_rate,
+                             phase_shift_decoding=True,
+                             expected_message=CSM_1B_WATERMARK)
+        assert isinstance(r["status"], bool)
+        assert 0.0 <= r["confidence"] <= 1.0
+        assert 0.0 <= r["expected_confidence"] <= 1.0
+        for msg in r["messages"]:
+            assert len(msg) == cfg.message_len
+            assert all(0 <= v < cfg.vocab for v in msg)
+        r2 = model.decode_wav(seg, cfg.sample_rate,
+                              phase_shift_decoding=True,
+                              expected_message=CSM_1B_WATERMARK)
+        assert r2 == r  # the verifier is deterministic
