@@ -3,7 +3,10 @@
 Prints ONE JSON line:
   {"metric": "rtf_proc_per_audio", "value": RTF, "unit": "proc_s/audio_s",
    "vs_baseline": RTF/0.1, "rtf_tuned_schedule": RTF_tuned,
-   "agg_frames_per_s_b16": frames_per_s, "decode_micro_b2_ms": ms}
+   "agg_frames_per_s_b16": frames_per_s,
+   "ttfa_p50_b16_busy12_ms": ms, "ttfa_p95_b16_busy12_ms": ms,
+   "int8_greedy_match_rate": rate, "duplex_turn_ttfa_ms": ms,
+   "decode_micro_b2_ms": ms}
 
 RTF = wall-clock processing seconds per second of audio produced by the
 full pipeline (prefill → AR frame decode → Mimi decode), flagship
@@ -85,6 +88,53 @@ def main():
     rtf_tuned = _measure_rtf(gen2, text, "tuned125", runs=5)
     print(f"RTF median: default-schedule {rtf:.4f}, tuned {rtf_tuned:.4f}",
           file=sys.stderr)
+
+    # -- int8 (the serving DEFAULT) quality vs bf16 (VERDICT r3 #4) --------
+    # Same seed → identical master weights; greedy (topk=1) is
+    # PRNG-key-invariant, so any frame mismatch is quantization error
+    # crossing an argmax boundary. Flip-the-default-back threshold
+    # (PARITY.md): weight-SNR < 35 dB on any trunk matrix, or greedy
+    # streams diverging before frame 25 (2 s).
+    from sesameai_tts_tpu.ops.quant import _TRUNK_QUANT_KEYS, quantize_weight
+
+    gen_bf16 = build_generator(csm_1b_spec(quantize=None))
+
+    def _leaf_snr(w):
+        # the serving quantizer itself (per-output-channel symmetric
+        # int8); handles stacked (L, in, out) leaves via leading dims
+        qw = quantize_weight(w)
+        deq = qw["q"].astype(jnp.float32) * qw["scale"][..., None, :]
+        wf = w.astype(jnp.float32)
+        err = deq - wf
+        return 10.0 * jnp.log10(jnp.sum(wf * wf)
+                                / jnp.maximum(jnp.sum(err * err), 1e-20))
+
+    snr_jit = jax.jit(_leaf_snr)
+    snrs = []
+    for trunk in ("backbone", "decoder"):
+        layers = gen_bf16._params[trunk]["layers"]
+        per_layer = layers if isinstance(layers, (list, tuple)) else [layers]
+        for wl in per_layer:
+            for k in _TRUNK_QUANT_KEYS:
+                if k in wl:
+                    snrs.append(float(snr_jit(wl[k])))
+    print(f"int8 weight-SNR over {len(snrs)} trunk matrices: "
+          f"min {min(snrs):.1f} dB, median {float(np.median(snrs)):.1f} dB "
+          f"(flip-to-bf16 gate: 35 dB)", file=sys.stderr)
+
+    f_i8 = gen.generate_frames(text, 1, [], max_audio_length_ms=10_000,
+                               temperature=1.0, topk=1, seed=0)
+    f_bf = gen_bf16.generate_frames(text, 1, [], max_audio_length_ms=10_000,
+                                    temperature=1.0, topk=1, seed=0)
+    nmatch = min(len(f_i8), len(f_bf))
+    frame_eq = (f_i8[:nmatch] == f_bf[:nmatch]).all(axis=1)
+    int8_match = float(frame_eq.mean()) if nmatch else 0.0
+    first_div = int(np.argmin(frame_eq)) if not frame_eq.all() else nmatch
+    print(f"int8 vs bf16 greedy ({len(f_i8)}/{len(f_bf)} frames): "
+          f"match rate {int8_match:.3f}, first divergence at frame "
+          f"{first_div} (free-running: one flip cascades — divergence "
+          f"< 25 would flip the default)", file=sys.stderr)
+    del gen_bf16  # free the dense copy before the serving sections
 
     # -- first-audio latency (prefill + 1 frame + 1-frame Mimi stream) ----
     lat = []
@@ -221,8 +271,84 @@ def main():
                 file=sys.stderr,
             )
         agg_b16 = float(np.median(agg))
+
+        # -- TTFA at the throughput config (VERDICT r3 #3) ------------------
+        # 12 busy slots, ≥3 reps: the p95 here was invisible to the driver
+        # (only the B=4 pool's TTFA was benched) while PARITY.md recorded
+        # 190-280 ms p50 / up to 1.6 s p95 at 8-15 busy. Target: p95 ≤
+        # 2×p50 and < 400 ms on a healthy link.
+        lat12 = []
+        for rep in range(3):
+            long12 = [server16.submit(text, max_audio_length_ms=30_000,
+                                      temperature=0.8, topk=40)
+                      for _ in range(12)]
+            time.sleep(1.5)  # pool mid-decode at 12 busy
+            for _ in range(8):
+                t0 = time.time()
+                s = server16.submit(text, max_audio_length_ms=400)
+                first = s.chunks.get(timeout=900)
+                lat12.append(time.time() - t0)
+                while first is not None:  # drain to free the slot
+                    first = s.chunks.get(timeout=900)
+            for s in long12:
+                s.cancel()
+            for s in long12:
+                s.audio(timeout=900)
+        lat12.sort()
+        ttfa12_p50 = 1000 * float(np.median(lat12))
+        ttfa12_p95 = 1000 * lat12[max(0, int(round(0.95 * len(lat12))) - 1)]
+        print(
+            f"TTFA at throughput config (B=16, 12 busy, {len(lat12)} probes "
+            f"over 3 reps): p50 {ttfa12_p50:.0f} ms, p95 {ttfa12_p95:.0f} ms, "
+            f"max {1000*lat12[-1]:.0f} ms (target p95 ≤ 2×p50 and < 400 ms)",
+            file=sys.stderr,
+        )
     finally:
         server16.stop()
+
+    # -- duplex voice loop: per-turn time-to-first-audio (VERDICT r3 #8) ---
+    # The one capability with no measured number. STT/LLM are stubbed
+    # (zero-latency), so the metric isolates what THIS framework adds to
+    # a voice turn: context append + tokenize + prefill over the rolling
+    # dialog + first frame + 1-frame Mimi. The reference prints TTFS/TTFF
+    # per turn (reference ogwebapp.py:106-120). Target: < 500 ms/turn.
+    from sesameai_tts_tpu.apps.duplex import DuplexVoiceApp
+
+    class _StubLLM:
+        """Deterministic two-sentence reply; .query streams deltas."""
+
+        class _Hist:
+            def clear_history(self):
+                pass
+
+        history_manager = _Hist()
+
+        def query(self, text, stream=True):
+            reply = ("Here is a quick answer for you. "
+                     "The fox settled down by the river.")
+            for i in range(0, len(reply), 7):
+                yield reply[i : i + 7]
+
+    app = DuplexVoiceApp(gen, stt=lambda a, r: "Tell me about the fox.",
+                         llm=_StubLLM(), max_sentence_ms=4_000)
+    user_pcm = np.zeros(24_000, np.float32)
+    turn_ttfa = []
+    for turn in range(4):
+        t0 = time.time()
+        it = app.respond(user_pcm, 24_000)
+        try:
+            next(it)
+            turn_ttfa.append(time.time() - t0)
+            for _ in it:  # finish the turn (context recycles)
+                pass
+        except StopIteration:
+            pass
+    # turn 0 pays fresh prefill-bucket compiles as the dialog grows; the
+    # steady-state number is the median of the warm turns
+    duplex_ms = 1000 * float(np.median(turn_ttfa[1:]))
+    print(f"duplex turn TTFA (stubbed STT/LLM, 4 turns, rolling context): "
+          f"first {1000*turn_ttfa[0]:.0f} ms, warm median {duplex_ms:.0f} ms "
+          f"(target < 500 ms)", file=sys.stderr)
 
     # -- batched decode micro (model-only: no Mimi, no scheduler) ----------
     from sesameai_tts_tpu.models import csm as csm_model_b
@@ -284,6 +410,10 @@ def main():
         "vs_baseline": round(rtf / 0.1, 3),
         "rtf_tuned_schedule": round(rtf_tuned, 4),
         "agg_frames_per_s_b16": round(agg_b16, 1),
+        "ttfa_p50_b16_busy12_ms": round(ttfa12_p50, 0),
+        "ttfa_p95_b16_busy12_ms": round(ttfa12_p95, 0),
+        "int8_greedy_match_rate": round(int8_match, 3),
+        "duplex_turn_ttfa_ms": round(duplex_ms, 0),
         # drift canary: same cached program every round — healthy link
         # reads ~6.8-7.4 ms; >=8 means the shared TPU service is in a
         # slow phase and the headline RTF is inflated (PARITY.md drift
