@@ -191,10 +191,29 @@ class Mimi:
         tf_pos: jnp.ndarray  # (B,)
         seanet: list
 
+    # transformer-ring headroom for one streamed chunk, in positions at
+    # the post-upsample rate (init_codec_cache max_chunk)
+    MAX_RING_CHUNK = 128
+
+    @property
+    def max_stream_chunk_frames(self) -> int:
+        """Largest per-chunk frame count ``decode_streaming`` supports.
+
+        The decoder transformer runs at ``upsample.stride``× the 12.5 Hz
+        code rate, and its ring cache only has ``MAX_RING_CHUNK``
+        positions of slack beyond the sliding-window context — a larger
+        chunk would clobber keys still inside earlier queries' windows
+        (asserted in codec/transformer.py). Callers dispatching frames
+        in chunks must clamp to this."""
+        return self.MAX_RING_CHUNK // self.upsample.stride
+
     def init_decode_state(self, batch: int, dtype=jnp.float32) -> "Mimi.DecodeState":
         return Mimi.DecodeState(
             upsample=self.upsample.init_state(batch, dtype),
-            tf_cache=init_codec_cache(self.cfg.transformer, batch, dtype),
+            tf_cache=init_codec_cache(
+                self.cfg.transformer, batch, dtype,
+                max_chunk=self.MAX_RING_CHUNK,
+            ),
             tf_pos=jnp.zeros((batch,), jnp.int32),
             seanet=self.decoder.init_state(batch, dtype),
         )

@@ -357,3 +357,64 @@ def decode_frames(
         step, (state, prev_frame, prev_done), keys
     )
     return frames, valid, done, state
+
+
+def teacher_forced_eval(
+    params: dict,
+    cfg: CSMConfig,
+    state: CSMState,
+    teacher: jnp.ndarray,  # (T, B, K) fixed feedback trajectory
+    rope_cs: Optional[jnp.ndarray] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Greedy decode with the feedback FORCED to a fixed trajectory.
+
+    Quantization / checkpoint-conversion QA: free-running greedy streams
+    are chaotic (one borderline argmax flip early re-routes the whole
+    trajectory — a frame-0 flip on random weights measured a 0.0 match
+    rate in round 4), so comparing two weight layouts means asking, at
+    every step, "given the IDENTICAL history, what would each emit?".
+    Feed both models the same ``teacher`` frames and compare the
+    returned per-step predictions (and codebook0 logits, whose SNR
+    measures forward-pass fidelity independent of argmax margins).
+
+    The reference has no analog — its quantization QA is listening to
+    the audio; this is the programmatic equivalent for environments
+    without real weights (and the real-weights acceptance check,
+    docs/REAL_WEIGHTS.md).
+
+    Returns ((T, B, K) int32 greedy frames, (T, B, V) f32 codebook0
+    logits). Codebooks 1..31 free-run *within* a step (conditioned on
+    the greedy c0), exactly like production decode.
+    """
+    bb = cfg.backbone
+    K = cfg.audio_num_codebooks
+    B = teacher.shape[1]
+    if rope_cs is None:
+        rope_cs = precompute_rope(bb)
+    mask_row = jnp.concatenate(
+        [jnp.ones((B, 1, K), bool), jnp.zeros((B, 1, 1), bool)], axis=-1
+    )
+    k0 = jax.random.PRNGKey(0)  # greedy (topk=1) is key-invariant
+
+    def step(st, fin):
+        tokens = jnp.concatenate(
+            [fin[:, None, :], jnp.zeros((B, 1, 1), fin.dtype)], axis=-1
+        )
+        x = embed_frames(params, cfg, tokens, mask_row).astype(
+            params["projection"].dtype
+        )
+        h, cache = transformer_forward(
+            params["backbone"], bb, x, st.pos, cache=st.cache, rope_cs=rope_cs
+        )
+        last_h = h[:, -1, :]
+        c0_logits = jax.lax.dot_general(
+            last_h, params["codebook0_head"], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        c0 = sample_topk(k0, c0_logits, 1, jnp.float32(1.0))
+        cs = _decode_codebooks(params, cfg, last_h, c0, k0, jnp.float32(1.0), 1)
+        frame = jnp.concatenate([c0[:, None], cs], axis=1)
+        return CSMState(cache=cache, pos=st.pos + 1), (frame, c0_logits)
+
+    _, (frames, logits) = jax.lax.scan(step, state, teacher)
+    return frames, logits

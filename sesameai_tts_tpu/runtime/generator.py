@@ -333,6 +333,7 @@ class Generator:
         stream: bool = True,
         offline: bool = False,
         offline_budget_frames: int = 1125,  # 90 s default generate() budget
+        encode_buckets: Sequence[int] = (),
     ) -> dict:
         """Compile every program a live request can first-trigger, BEFORE
         traffic arrives.
@@ -350,10 +351,15 @@ class Generator:
           (fresh and cached-context prefills share these programs — the
           cache key is the padded token shape, not the state contents)
         * the first-audio program (``_first_chunk``)
-        * the fused streaming tick at B=1 (``generate_stream``'s path)
+        * the fused streaming tick at B=1 (``generate_stream`` dispatches
+          ONE fixed chunk size — the loop never ramps)
         * with ``serving_batch``/``tick_sizes``: the serving pool's fused
           tick programs at B=slots for each tick size
         * with ``offline``: the ramped offline decode chunk sizes
+        * with ``encode_buckets``: the Mimi encode program at those
+          power-of-2 frame buckets (the rolling-dialog path — duplex and
+          live voice preloads — encodes user/bot audio at whatever
+          bucket the clip lands in; ``pad_audio_to_frame_bucket``)
 
         All inputs are throwaway buffers — donation never touches caller
         state.  Returns {program_name: seconds} (compile-dominated on
@@ -415,7 +421,9 @@ class Generator:
             )
 
         if stream:
-            # generate_stream's fused chunk: scalar params, traced start
+            # generate_stream's fused chunk: scalar params, traced start.
+            # The streaming loop dispatches ONE fixed size (ramping would
+            # mint a fresh program mid-stream), so one compile covers it.
             _timed(
                 f"stream_tick_{self._decode_chunk_frames}",
                 lambda: _tick(1, self._decode_chunk_frames, temp1, topk1,
@@ -447,6 +455,13 @@ class Generator:
                         key, n, temp1, topk1, jnp.int32(1),
                     ),
                 )
+        for b in sorted(set(encode_buckets)):
+            # same (1, 1, bucket·hop) shape pad_audio_to_frame_bucket mints
+            wav = jnp.zeros((1, 1, b * self._hop), jnp.float32)
+            _timed(
+                f"mimi_encode_{b}",
+                lambda: self._mimi_encode(self._mimi_params, wav),
+            )
         total = sum(times.values())
         log.info(
             "warmup: %d programs in %.1fs (slowest: %s)", len(times), total,
@@ -690,6 +705,17 @@ class Generator:
         max_gen = int(max_audio_length_ms / FRAME_MS)
         chunk_frames = chunk_frames or self._stream_chunk_frames
         decode_chunk = decode_chunk_frames or self._decode_chunk_frames
+        ring_cap = self._mimi.max_stream_chunk_frames
+        if decode_chunk > ring_cap:
+            # the fused tick streams Mimi with a carried ring cache whose
+            # slack caps the per-chunk frame count; clamping only changes
+            # dispatch granularity — sampled audio is schedule-invariant
+            # (per-frame keys are fold_in(key, absolute index))
+            log.warning(
+                "decode_chunk_frames=%d exceeds the codec streaming ring "
+                "(%d frames/chunk); clamping", decode_chunk, ring_cap,
+            )
+            decode_chunk = ring_cap
         key_prefill, utt_key = self._utterance_keys(seed)
 
         frame, state, done, max_gen = self._prefill_utterance(

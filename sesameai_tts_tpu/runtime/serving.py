@@ -125,6 +125,18 @@ class BatchedTTSServer:
             )
         self.gen = generator
         self.B = slots
+        # the fused tick streams Mimi with a carried ring cache whose
+        # slack caps frames-per-chunk (codec/transformer.py assert) —
+        # clamp rather than crash the first tick
+        ring_cap = generator._mimi.max_stream_chunk_frames
+        if chunk_frames > ring_cap:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "chunk_frames=%d exceeds the codec streaming ring "
+                "(%d frames/tick); clamping", chunk_frames, ring_cap,
+            )
+            chunk_frames = ring_cap
         self.chunk = chunk_frames
         self._budget = np.zeros(slots, np.int64)  # frames left per slot
         self._temperature = np.ones(slots, np.float32)

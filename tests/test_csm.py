@@ -19,6 +19,7 @@ from sesameai_tts_tpu.models.csm import (
     embed_frames,
     generate_frame,
     decode_frames,
+    teacher_forced_eval,
 )
 
 CFG = csm_test_tiny()
@@ -131,6 +132,38 @@ def test_decode_frames_matches_stepwise(params):
     for t in range(N):
         if valid[t]:
             np.testing.assert_array_equal(frames[t], expect[t])
+
+
+def test_teacher_forced_eval_self_consistent(params):
+    """teacher_forced_eval replaying a model's OWN greedy trajectory must
+    reproduce it exactly, and the returned c0 logits must argmax to c0 —
+    the bench's quantization-QA path (free-running comparisons are
+    chaotic; teacher-forcing isolates per-step disagreement)."""
+    rng = np.random.default_rng(5)
+    K = CFG.audio_num_codebooks
+    tokens, mask = _random_prompt(rng, 6)
+
+    state = init_state(CFG, 1, jnp.float32)
+    frame0, state = generate_frame(
+        params, CFG, state,
+        jnp.asarray(tokens)[None], jnp.asarray(mask)[None],
+        jax.random.PRNGKey(7), temperature=1.0, topk=1,
+    )
+    N = 5
+    frames, valid, _, _ = decode_frames(
+        params, CFG, state, frame0, jnp.zeros((1,), bool),
+        jax.random.PRNGKey(8), N, temperature=1.0, topk=1,
+    )
+    traj = np.concatenate([np.asarray(frame0)[None], np.asarray(frames)])
+    assert np.asarray(valid).all()  # random tiny weights: no EOS expected
+
+    # teacher inputs are frames 0..N-1; predictions are frames 1..N
+    preds, logits = teacher_forced_eval(
+        params, CFG, state, jnp.asarray(traj[:N]),
+    )
+    np.testing.assert_array_equal(np.asarray(preds)[:, 0], traj[1:, 0])
+    c0_from_logits = np.argmax(np.asarray(logits, dtype=np.float32), axis=-1)
+    np.testing.assert_array_equal(c0_from_logits[:, 0], traj[1:, 0, 0])
 
 
 def test_decode_frames_eos_masks_rest(params):

@@ -34,7 +34,8 @@ def test_generate_produces_audio(gen):
 def test_warmup_stream_and_offline_paths(gen):
     """Generator.warmup covers the single-stream program set: the fused
     streaming tick and the offline ramp (decode_chunk=4 → ramp 4,8,16,…)."""
-    times = gen.warmup(offline=True, offline_budget_frames=60)
+    times = gen.warmup(offline=True, offline_budget_frames=60,
+                       encode_buckets=(4, 8))
     names = set(times)
     assert f"stream_tick_{gen._decode_chunk_frames}" in names
     # ramp from the offline base, doubled until the budget is covered
@@ -42,10 +43,27 @@ def test_warmup_stream_and_offline_paths(gen):
     assert f"offline_chunk_{base}" in names
     assert any(k.startswith("offline_chunk_") and k != f"offline_chunk_{base}"
                for k in names)
+    # Mimi encode at the requested frame buckets (rolling-dialog path)
+    assert {"mimi_encode_4", "mimi_encode_8"} <= names
     # generation still works (warmup used throwaway buffers only)
     audio = gen.generate("post warmup", 1, [], max_audio_length_ms=400,
                          temperature=0.8, topk=5)
     assert np.isfinite(audio).all()
+
+
+def test_stream_decode_chunk_clamped_to_codec_ring(gen):
+    """A decode_chunk_frames beyond the codec streaming ring's slack must
+    not crash a live request: the fused tick streams Mimi with a carried
+    ring cache (codec/transformer.py asserts chunk ≤ slack), so the
+    generator clamps to Mimi.max_stream_chunk_frames. Audio is unchanged
+    by chunking (per-frame keys are absolute-index fold_ins)."""
+    cap = gen._mimi.max_stream_chunk_frames
+    assert cap >= 1
+    chunks = list(gen.generate_stream(
+        "clamp me", 1, [], max_audio_length_ms=480, temperature=0.8,
+        topk=5, decode_chunk_frames=cap + 40, seed=3))
+    audio = np.concatenate(chunks)
+    assert audio.size > 0 and np.isfinite(audio).all()
 
 
 def test_stream_matches_offline_frames(gen):

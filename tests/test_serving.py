@@ -17,6 +17,14 @@ def server():
     srv.stop()
 
 
+def test_chunk_frames_clamped_to_codec_ring(server):
+    """A tick size beyond the codec streaming ring's slack must clamp at
+    construction (codec/transformer.py would assert on the first tick)."""
+    cap = server.gen._mimi.max_stream_chunk_frames
+    srv = BatchedTTSServer(server.gen, slots=2, chunk_frames=cap + 99)
+    assert srv.chunk == cap  # never started; no device programs minted
+
+
 def test_concurrent_sessions_complete(server):
     hop = server.gen._mimi.cfg.hop_length
     sessions = [
