@@ -472,6 +472,72 @@ class Generator:
         )
         return times
 
+    def clone(
+        self,
+        stream_chunk_frames: Optional[int] = None,
+        decode_chunk_frames: Optional[int] = None,
+        offline_chunk_frames: Optional[int] = None,
+        seed: int = 0,
+    ) -> "Generator":
+        """A second Generator over the SAME device-resident weights.
+
+        Shares ``_params``, the dequantized prefill shadow, the Mimi
+        params and the text tokenizer (nothing is re-initialized,
+        re-quantized or re-uploaded — zero extra HBM beyond jit
+        executables) while getting FRESH jit wrappers and its own
+        schedule knobs.  Two uses:
+
+        * schedule variants (e.g. the bench's one-dispatch
+          ``offline_chunk_frames=125`` tuned config) without paying a
+          second ~10-minute flagship build;
+        * cold-start simulation: a clone's executable caches are empty
+          exactly like a restarted server's, so ``clone().warmup()``
+          measures persistent-cache repopulation without rebuilding
+          weights (VERDICT r4 #1c).
+
+        The clone is as thread-safe as the original (its own PRNG key +
+        lock, own Metrics); the shared param trees are read-only in
+        every program (only state buffers are donated).
+        """
+        new = object.__new__(Generator)
+        # shared, read-only device state
+        new._unrolled = self._unrolled
+        new._mesh = self._mesh
+        new._codec_device = self._codec_device
+        new._params = self._params
+        new._prefill_params = self._prefill_params
+        new._cfg = self._cfg
+        new._mimi = self._mimi
+        new._mimi_params = self._mimi_params
+        new._mimi_dtype = self._mimi_dtype
+        new.sample_rate = self.sample_rate
+        new._hop = self._hop
+        new._rope = self._rope
+        new._max_seq_len = self._max_seq_len
+        new._prefill_buckets = list(self._prefill_buckets)
+        # per-instance knobs/state
+        new._stream_chunk_frames = (
+            self._stream_chunk_frames if stream_chunk_frames is None
+            else stream_chunk_frames
+        )
+        new._decode_chunk_frames = (
+            self._decode_chunk_frames if decode_chunk_frames is None
+            else decode_chunk_frames
+        )
+        new._offline_chunk_frames = (
+            self._offline_chunk_frames if offline_chunk_frames is None
+            else offline_chunk_frames
+        )
+        new._key = jax.random.PRNGKey(seed)
+        new._key_lock = threading.Lock()
+        new.metrics = Metrics()
+        new._tokenizer = FrameTokenizer(
+            self._tokenizer.text_tokenizer, new._encode_audio,
+            self._cfg.audio_num_codebooks,
+        )
+        new._build_programs()
+        return new
+
     def _encode_audio(self, audio: np.ndarray) -> np.ndarray:
         """(T,) float32 → (K, F) codes (frames.pad_audio_to_frame_bucket)."""
         wav, frames = pad_audio_to_frame_bucket(audio, self._hop)

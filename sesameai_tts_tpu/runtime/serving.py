@@ -170,6 +170,12 @@ class BatchedTTSServer:
         # for the same HBM reason as _ready: each entry pins a B=1 state.
         self._dispatched: "queue.Queue[tuple]" = queue.Queue(maxsize=2)
         self._lock = threading.Lock()
+        # blocked submit(wait=True) callers park here; the dispatch loop
+        # notifies after draining a _pending entry and stop() broadcasts
+        # on shutdown. A CV (not a sleep-poll) because this is a 1-CPU
+        # host: a busy-waiting bulk caller would steal the core the
+        # decode threads need (VERDICT r4 #7)
+        self._backlog_cv = threading.Condition(self._lock)
         self._inflight = None  # lag-1 dispatched tick awaiting fetch
         self._running = False
         # structured observability (SURVEY.md §5: the reference has only
@@ -358,10 +364,10 @@ class BatchedTTSServer:
         instead of blocking when the bounded backlog (``max_pending``)
         is full — the HTTP front end's 429 path."""
         s = Session(text=text, **kw)
-        while True:
-            with self._lock:  # atomic with stop()'s _running flip: a session
-                # must never be enqueued after the final drain (its listener
-                # would block forever on a queue no thread consumes)
+        with self._backlog_cv:  # atomic with stop()'s _running flip: a
+            # session must never be enqueued after the final drain (its
+            # listener would block forever on a queue no thread consumes)
+            while True:
                 if not self._running:
                     raise RuntimeError("server is not running (call start())")
                 try:
@@ -375,9 +381,12 @@ class BatchedTTSServer:
                             f"queued, {self.B} slots)",
                             retry_after_s=self._retry_after_estimate(),
                         ) from None
-            # blocking path: poll outside the lock so stop() can flip
-            # _running (put(block=True) under the lock would deadlock it)
-            time.sleep(0.005)
+                # park until the dispatch loop drains an entry or stop()
+                # broadcasts; wait() releases the lock so neither is
+                # blocked by us. The timeout is a missed-wakeup backstop
+                # only — steady state costs zero CPU (the old 5 ms poll
+                # burned the single host core bulk decode needs)
+                self._backlog_cv.wait(timeout=0.5)
 
     def _retry_after_estimate(self) -> float:
         """Seconds until the backlog likely has room: queued work divided
@@ -463,8 +472,9 @@ class BatchedTTSServer:
                 s.chunks.put(None)
 
     def stop(self):
-        with self._lock:  # after this, submit() raises — nothing can be
-            self._running = False  # enqueued past the drain below
+        with self._backlog_cv:  # after this, submit() raises — nothing can
+            self._running = False  # be enqueued past the drain below
+            self._backlog_cv.notify_all()  # parked submitters see the flip
         if self._thread:
             self._thread.join(timeout=10)
         if self._admitter:
@@ -567,6 +577,8 @@ class BatchedTTSServer:
                 session = self._pending.get(timeout=0.05)
             except queue.Empty:
                 continue
+            with self._backlog_cv:  # a backlog slot just freed: wake one
+                self._backlog_cv.notify()  # parked submit(wait=True)
             if session.cancelled:
                 session.chunks.put(None)
                 continue

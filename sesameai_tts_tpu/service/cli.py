@@ -48,6 +48,12 @@ def main(argv=None):
         "reference's unconditional watermarking)",
     )
     parser.add_argument("--max-ms", type=float, default=30_000)
+    parser.add_argument(
+        "--no-quantize", action="store_true",
+        help="Serve the trunks in bf16 instead of the weight-only int8 "
+        "default — the operator action when the smoke harness's quant "
+        "gate fails (runtime/qa.py thresholds; docs/REAL_WEIGHTS.md)",
+    )
 
     args = parser.parse_args(argv)
 
@@ -65,7 +71,8 @@ def main(argv=None):
     if args.flavor == "test-tiny":
         spec = test_tiny_spec()
     else:
-        spec = csm_1b_spec(args.model_path, args.mimi_path, args.tokenizer)
+        spec = csm_1b_spec(args.model_path, args.mimi_path, args.tokenizer,
+                           quantize=None if args.no_quantize else "int8")
 
     tts_engine = TTS(spec=spec, voices=args.voices,
                      enable_watermark=not args.no_watermark)

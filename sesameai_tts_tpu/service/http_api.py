@@ -500,6 +500,11 @@ def main(argv=None):
                         "whose sessions fit 1024 rows (voice context + "
                         "text + audio frames) gains ~19%% model-step "
                         "throughput at B=16 (measured 11.7->9.8 ms/step)")
+    p.add_argument("--no-quantize", action="store_true",
+                   help="serve bf16 trunks instead of the weight-only "
+                        "int8 default — the operator action when "
+                        "sesame-tts-smoke's quant gate fails "
+                        "(runtime/qa.py; docs/REAL_WEIGHTS.md)")
     args = p.parse_args(argv)
 
     from sesameai_tts_tpu.runtime.loader import (
@@ -508,7 +513,8 @@ def main(argv=None):
 
     spec = (
         test_tiny_spec() if args.flavor == "test-tiny"
-        else csm_1b_spec(args.model_path, args.mimi_path, args.tokenizer)
+        else csm_1b_spec(args.model_path, args.mimi_path, args.tokenizer,
+                         quantize=None if args.no_quantize else "int8")
     )
     if args.max_positions is not None:
         # the backbone FLAVOR's max_seq_len is the trained ceiling;

@@ -20,6 +20,10 @@ Checks, each reported PASS/FAIL:
   1. load      — checkpoints load through the real ModelSpec consumers
   2. generate  — a short utterance produces 24 kHz audio with sane RMS
   3. greedy    — topk=1 generation is PRNG-key-invariant (two seeds agree)
+  3b. quant    — (int8/int4 specs) the executable quantization gate
+                 (runtime/qa.py): weight-SNR ≥ 35 dB on every trunk
+                 matrix AND teacher-forced logit-SNR ≥ 20 dB vs a dense
+                 bf16 twin; informational on synthetic weights
   4. codec     — Mimi encode→decode round trip on the generated audio
                  reaches a speech-grade SNR (codes are the channel, so
                  this exercises the full encoder AND decoder)
@@ -198,6 +202,49 @@ def main(argv=None) -> int:
               "topk=1 key-invariant")
     except Exception as e:
         check("greedy", False, repr(e))
+
+    # quant — the int8 serving default must not change what the model
+    # says (VERDICT r4 #3): the documented gate (weight-SNR ≥ 35 dB,
+    # teacher-forced logit-SNR ≥ 20 dB; runtime/qa.py) now decides the
+    # exit code on real weights instead of living in bench stderr.
+    # Below the gate, serve bf16 (--flavor csm-1b with quantize=None /
+    # serve --no-quantize is the operator action; docs/REAL_WEIGHTS.md).
+    if spec.quantize in ("int8", "int4"):
+        try:
+            import dataclasses as _dc
+
+            from sesameai_tts_tpu.runtime.qa import quant_acceptance
+
+            gen_ref = build_generator(_dc.replace(spec, quantize=None))
+            rep = quant_acceptance(
+                gen, gen_ref,
+                text=args.text + " " + args.text,  # ≥100-step trajectory
+                steps=100,
+            )
+            del gen_ref  # free the dense twin before the serve section
+            detail = (
+                f"weight-SNR min {rep['weight_snr_min_db']} dB (gate "
+                f"≥{rep['gate_weight_snr_db']:.0f}), teacher-forced "
+                f"logit-SNR {rep['logit_snr_db']} dB (gate "
+                f"≥{rep['gate_logit_snr_db']:.0f}), per-code match "
+                f"{rep['code_match']} over {rep['steps']} steps"
+            )
+            if synthetic:
+                # random weights: argmax margins ~0 make the match rate
+                # meaningless and the logit SNR is still informative —
+                # report, don't gate (the weight-SNR half still holds)
+                check("quant", rep["weight_snr_min_db"]
+                      >= rep["gate_weight_snr_db"],
+                      detail + " (informational: synthetic weights — "
+                      "logit gate not applied)")
+            else:
+                check("quant", rep["passed"], detail + (
+                    "" if rep["passed"]
+                    else " — BELOW GATE: serve bf16 (sesame-tts-serve "
+                         "--no-quantize)"
+                ))
+        except Exception as e:
+            check("quant", False, repr(e))
 
     try:
         hop = gen._hop

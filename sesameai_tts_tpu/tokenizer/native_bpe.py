@@ -160,10 +160,17 @@ class NativeBPETokenizer:
             len(vocab), *(i + 1 for i in specials.values())
         ) if specials else len(vocab)
 
-    def __del__(self):  # release the C++ vocab/merge maps (tens of MB)
+    def __del__(self, _c_void_p=ctypes.c_void_p):
+        # release the C++ vocab/merge maps (tens of MB). ctypes is bound
+        # as a default arg: at interpreter shutdown module globals may
+        # already be None'd, which made this raise (harmlessly but
+        # noisily) in __del__
         lib, h = getattr(self, "_lib", None), getattr(self, "_h", None)
         if lib is not None and h:
-            lib.bpe_free(ctypes.c_void_p(h))
+            try:
+                lib.bpe_free(_c_void_p(h))
+            except TypeError:  # shutdown teardown already tore down ctypes
+                pass
             self._h = None
 
     def encode(self, text: str) -> List[int]:

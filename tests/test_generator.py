@@ -213,3 +213,31 @@ def test_max_positions_override_same_audio(gen):
     with pytest.raises(ValueError):
         gen96.generate(long_text, speaker=1, context=[],
                        max_audio_length_ms=60_000)
+
+
+def test_clone_shares_weights_and_matches_output(gen):
+    """clone() hands back a Generator over the SAME device buffers (no
+    re-init/re-quantize — the bench's tuned-schedule and cold-start
+    sections depend on this to avoid duplicate flagship builds, VERDICT
+    r4 #1c) with fresh jit wrappers and independent schedule knobs.
+    Same seed + greedy → identical audio despite a different chunk
+    schedule (per-frame keys are absolute-index fold_ins)."""
+    c = gen.clone(decode_chunk_frames=2, offline_chunk_frames=2, seed=3)
+    # shared, not copied: the exact same device arrays
+    assert jax.tree.leaves(c._params)[0] is jax.tree.leaves(gen._params)[0]
+    assert c._prefill_params is gen._prefill_params
+    assert c._mimi_params is gen._mimi_params
+    assert c._tokenizer.text_tokenizer is gen._tokenizer.text_tokenizer
+    # knobs are per-instance
+    assert c._offline_chunk_frames == 2 and c._decode_chunk_frames == 2
+    assert gen._decode_chunk_frames == 4  # original untouched
+    kw = dict(speaker=1, context=[], max_audio_length_ms=640,
+              temperature=1.0, topk=1)
+    a = gen.generate("clone parity utterance", seed=7, **kw)
+    b = c.generate("clone parity utterance", seed=7, **kw)
+    np.testing.assert_allclose(a, b, atol=1e-5)
+    # the clone warms up and streams on its own wrappers
+    chunks = list(c.generate_stream("clone stream", 1, [],
+                                    max_audio_length_ms=320,
+                                    temperature=0.8, topk=5))
+    assert all(np.isfinite(ch).all() for ch in chunks)

@@ -312,3 +312,49 @@ def test_int8_greedy_matches_dense_tiny():
     assert per_step[0] == 1.0, per_step  # prefill frame must be bit-exact
     assert exact_steps >= 10, per_step
     assert float(np.mean(per_step)) >= 0.8, per_step
+
+
+def test_quant_acceptance_gate_passes_and_trips():
+    """The executable int8 gate (runtime/qa.py, VERDICT r4 #3): on a
+    healthy quantization the acceptance report passes its thresholds;
+    corrupting the deployed int8 tables (a conversion/kernel-bug
+    stand-in the weight-SNR half cannot see — it only measures the
+    quantizer's own error on the dense weights) must trip the
+    teacher-forced logit-SNR half. This pins that the smoke harness's
+    exit code actually reflects quantization quality."""
+    import dataclasses
+
+    from sesameai_tts_tpu.runtime.loader import build_generator, test_tiny_spec
+    from sesameai_tts_tpu.runtime.qa import quant_acceptance
+
+    spec_q = dataclasses.replace(test_tiny_spec(), quantize="int8")
+    gen_q = build_generator(spec_q, decode_chunk_frames=4)
+    gen_ref = build_generator(test_tiny_spec(), decode_chunk_frames=4)
+    text = "the quant acceptance gate runs teacher forced"
+    # tiny random weights: argmax margins ~0, so the per-code match is
+    # chaos — but the logit SNR is well-defined; use a relaxed floor the
+    # corrupt case still cannot reach
+    rep = quant_acceptance(gen_q, gen_ref, text=text, steps=12,
+                           min_logit_snr_db=5.0)
+    assert rep["passed"], rep
+    assert rep["weight_snr_min_db"] >= 35.0, rep  # quantizer healthy
+    assert rep["self_consistency"] >= 0.9, rep    # tf == production decode
+    assert rep["steps"] > 0
+
+    # corrupt the DEPLOYED tables (scales 16x): weight-SNR (dense-side)
+    # is blind to this; the teacher-forced comparison is not
+    def _corrupt(tree):
+        def fix(x):
+            if isinstance(x, dict) and "q" in x:
+                return {**x, "scale": x["scale"] * 16.0}
+            return x
+
+        return jax.tree.map(
+            fix, tree, is_leaf=lambda x: isinstance(x, dict) and "q" in x
+        )
+
+    gen_q._params = _corrupt(gen_q._params)
+    rep2 = quant_acceptance(gen_q, gen_ref, text=text, steps=12,
+                            min_logit_snr_db=5.0)
+    assert not rep2["passed"], rep2
+    assert rep2["logit_snr_db"] < rep["logit_snr_db"], (rep, rep2)

@@ -316,3 +316,23 @@ def test_resolve_tokenizer_auto(tmp_path):
     assert resolve_tokenizer(
         None, str(tmp_path / "model.safetensors")
     ) == str(tj)
+
+
+def test_prewarm_cli_tiny(capsys):
+    """sesame-tts-prewarm populates the persistent compile cache with
+    the exact serve-path program set and reports a machine-readable
+    warmup_wall_s record (VERDICT r4 #6 — deploy-time prewarm so serve
+    restarts never pay cold remote compiles)."""
+    import json as _json
+
+    from sesameai_tts_tpu.service.prewarm import main as prewarm_main
+
+    rc = prewarm_main(["--flavor", "test-tiny", "--slots", "2",
+                       "--chunk-frames", "4",
+                       "--cache-dir", "/tmp/jax_test_cache"])
+    assert rc == 0
+    out = capsys.readouterr().out.strip().splitlines()
+    rec = _json.loads(out[-1])
+    assert rec["programs"] > 10          # buckets + ticks + scatters + ...
+    assert rec["warmup_wall_s"] >= 0
+    assert rec["slots"] == 2 and rec["chunk_frames"] == 4

