@@ -308,45 +308,12 @@ def main():
     if section("ttfa_idle", 90):
         guard("ttfa_idle", s_ttfa_idle, "ttfa_idle_p50_ms")
 
-    # -- serving: B=4 e2e + slot scaling (stderr context) ------------------
     from sesameai_tts_tpu.runtime.serving import BatchedTTSServer
 
-    def s_serve4():
-        server = BatchedTTSServer(gen, slots=4, chunk_frames=10)
-        server.start()
-        try:
-            n_sess, sess_ms = 8, 6_000
-
-            def run_batch():
-                t0 = time.time()
-                sessions = [
-                    server.submit(TEXT, max_audio_length_ms=sess_ms,
-                                  temperature=0.8, topk=40)
-                    for _ in range(n_sess)
-                ]
-                audios = [s.audio(timeout=900) for s in sessions]
-                wall = time.time() - t0
-                total_audio = sum(len(a) for a in audios) / gen.sample_rate
-                frames = sum(sum(f.shape[0] for f in s.frames_out)
-                             for s in sessions)
-                return wall, total_audio, frames
-
-            run_batch()  # warm-up: compiles scatter/decode/Mimi programs
-            wall, total_audio, frames = run_batch()
-            print(
-                f"serving e2e (B=4 slots, {n_sess} sessions): "
-                f"{total_audio:.1f}s audio in {wall:.2f}s = {frames/wall:.0f} "
-                f"frames/s aggregate, aggregate RTF "
-                f"{wall/max(total_audio, 1e-9):.4f} (incl. Mimi + scheduler)",
-                file=sys.stderr,
-            )
-        finally:
-            server.stop()
-
-    if section("serving_b4", 240):
-        guard("serving_b4", s_serve4)
-
     # -- throughput config: B=16 + the TTFA tail at 12 busy ----------------
+    # Runs BEFORE the B=4 context section: this one carries JSON fields
+    # (agg_frames_per_s_b16, ttfa_p50/p95), the B=4 run is stderr-only —
+    # under a squeezed budget the wrong one was getting the slot.
     def s_serve16():
         server16 = BatchedTTSServer(gen, slots=16, chunk_frames=5)
         server16.start()
@@ -418,6 +385,39 @@ def main():
     if section("serving_b16", 300):
         guard("serving_b16", s_serve16, "agg_frames_per_s_b16",
               "ttfa_p50_b16_busy12_ms", "ttfa_p95_b16_busy12_ms")
+
+    # -- serving: B=4 e2e + slot scaling (stderr context) ------------------
+    def s_serve4():
+        server = BatchedTTSServer(gen, slots=4, chunk_frames=10)
+        server.start()
+        try:
+            n_sess, sess_ms = 8, 6_000
+
+            def run_batch():
+                t0 = time.time()
+                sessions = [
+                    server.submit(TEXT, max_audio_length_ms=sess_ms,
+                                  temperature=0.8, topk=40)
+                    for _ in range(n_sess)
+                ]
+                audios = [s.audio(timeout=900) for s in sessions]
+                wall = time.time() - t0
+                total_audio = sum(len(a) for a in audios) / gen.sample_rate
+                frames = sum(sum(f.shape[0] for f in s.frames_out)
+                             for s in sessions)
+                return wall, total_audio, frames
+
+            run_batch()  # warm-up: compiles scatter/decode/Mimi programs
+            wall, total_audio, frames = run_batch()
+            print(
+                f"serving e2e (B=4 slots, {n_sess} sessions): "
+                f"{total_audio:.1f}s audio in {wall:.2f}s = {frames/wall:.0f} "
+                f"frames/s aggregate, aggregate RTF "
+                f"{wall/max(total_audio, 1e-9):.4f} (incl. Mimi + scheduler)",
+                file=sys.stderr,
+            )
+        finally:
+            server.stop()
 
     # -- duplex voice loop: per-turn time-to-first-audio --------------------
     # STT/LLM stubbed (zero-latency): the metric isolates what THIS
@@ -498,6 +498,11 @@ def main():
     if section("cold_start", 180):
         guard("cold_start", s_cold, "warmup_wall_s",
               "cold_start_first_ttfa_ms")
+
+    # stderr-context sections last: they carry no JSON fields, so under a
+    # squeezed budget they are the right ones to lose
+    if section("serving_b4", 240):
+        guard("serving_b4", s_serve4)
 
     # -- gputest parity: generate_frame on a 512-row prefill (stderr) ------
     def s_gputest():

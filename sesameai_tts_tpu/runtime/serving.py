@@ -748,15 +748,7 @@ class BatchedTTSServer:
             # minutes-long remote compile. Emission already clips to the
             # per-slot budget in _process, so overshoot on the final
             # chunk costs at most chunk-1 frames of throwaway decode.
-            n = self.chunk
-            if self._admitting or not self._ready.empty():
-                # attach-priority: an admission is prefilling (its program
-                # queues behind every dispatched tick) or waiting for a
-                # slot — cap the tick so the device drains to it quickly.
-                # TTFA under load was ~180 ms with full 10-frame ticks
-                # ahead of the prefill; 3-frame ticks bound that wait at
-                # ~2×3 frames of decode
-                n = min(n, 3)
+            n = self._tick_size()
             # ONE fused program (AR decode + batched Mimi for all slots),
             # dispatched BEFORE the previous tick's fetch: the ~30 ms
             # round trip rides under this tick's execution.  Emission
@@ -775,6 +767,28 @@ class BatchedTTSServer:
             if self._inflight is not None:
                 self._process(gen, self._inflight)
             self._inflight = cur
+
+    # attach-priority cap applies only while the admission backlog is at
+    # most this deep. Interactive loads (a probe arriving at a busy
+    # pool) get 3-frame ticks so the prefill — which queues behind every
+    # dispatched tick on the device — lands quickly (measured: full
+    # 10-frame ticks ahead of the prefill cost ~180 ms TTFA under load;
+    # 3-frame ticks bound the wait at ~2×3 frames of decode). BULK
+    # bursts (synthesize_batch, 32 sessions at once) instead kept the
+    # pool in 3-frame ticks for the entire run — round-5 trial measured
+    # 399 f/s aggregate at B=16 vs ~550+ with full ticks — while their
+    # sessions' TTFA is queue-dominated anyway (seconds waiting for a
+    # slot; shaving 100 ms off prefill landing is noise), so a deep
+    # backlog runs full ticks.
+    ATTACH_PRIORITY_MAX_BACKLOG = 4
+
+    def _tick_size(self) -> int:
+        """Per-dispatch tick size: {chunk, 3} only (fixed program set)."""
+        backlog = (self._pending.qsize() + self._ready.qsize()
+                   + self._admitting)
+        if 0 < backlog <= self.ATTACH_PRIORITY_MAX_BACKLOG:
+            return min(self.chunk, 3)
+        return self.chunk
 
     def _process(self, gen, inflight):
             """Fetch + emit one dispatched tick (lag-1 behind dispatch)."""

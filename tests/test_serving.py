@@ -363,3 +363,25 @@ def test_submit_wait_parks_on_cv_and_unblocks(server):
     # woke to either a drained backlog (session accepted) or the stop
     # broadcast (RuntimeError) — both are correct unpark paths
     assert "s" in result or isinstance(result.get("e"), RuntimeError)
+
+
+def test_tick_size_backlog_aware(server):
+    """Attach-priority 3-frame ticks apply to SHALLOW admission backlogs
+    (interactive probes: the prefill queues behind dispatched ticks, so
+    small ticks bound its wait) but NOT to deep bulk bursts, whose
+    sessions are queue-dominated — capping every tick there traded ~30%
+    aggregate throughput for nothing (round-5 trial: 399 vs ~550+ f/s
+    at B=16)."""
+    srv = BatchedTTSServer(server.gen, slots=2, chunk_frames=10)
+    assert srv._tick_size() == 10            # idle: full ticks
+    srv._admitting = 1
+    assert srv._tick_size() == 3             # interactive: cap
+    srv._admitting = 0
+    for _ in range(srv.ATTACH_PRIORITY_MAX_BACKLOG):
+        srv._pending.put_nowait(object())
+    assert srv._tick_size() == 3             # at the threshold: still cap
+    srv._pending.put_nowait(object())
+    assert srv._tick_size() == 10            # deep bulk burst: full ticks
+    while not srv._pending.empty():
+        srv._pending.get_nowait()
+    assert srv._tick_size() == 10
