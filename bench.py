@@ -298,9 +298,15 @@ def main():
                                          temperature=0.8, topk=40,
                                          chunk_frames=1,
                                          decode_chunk_frames=10)
-            chunk = next(iter(stream))
+            it = iter(stream)
+            chunk = next(it)
             assert chunk is not None
             lat.append(time.time() - t0)
+            # drain: an abandoned stream leaves its lag-1-dispatched tick
+            # running on the device, inflating the NEXT rep ~20-40 ms —
+            # "idle engine" means the device is actually idle at t0
+            for _ in it:
+                pass
         RESULTS["ttfa_idle_p50_ms"] = round(1000 * float(np.median(lat)), 0)
         print(f"first-audio latency p50: {RESULTS['ttfa_idle_p50_ms']:.0f} ms "
               f"(target < 200 ms)", file=sys.stderr)
