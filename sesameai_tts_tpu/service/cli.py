@@ -49,6 +49,12 @@ def main(argv=None):
     )
     parser.add_argument("--max-ms", type=float, default=30_000)
     parser.add_argument(
+        "--seed", type=int, default=None,
+        help="Reproducible synthesis: the same seed + text + weights "
+        "always produce the same audio (sentence i of a multi-sentence "
+        "input uses seed+i)",
+    )
+    parser.add_argument(
         "--no-quantize", action="store_true",
         help="Serve the trunks in bf16 instead of the weight-only int8 "
         "default — the operator action when the smoke harness's quant "
@@ -86,7 +92,8 @@ def main(argv=None):
         print("No voices registered; generating without voice context")
 
     if args.text:
-        tts_engine.export_wav(args.text, args.output, temperature=args.temp, topk=args.topk)
+        tts_engine.export_wav(args.text, args.output, temperature=args.temp,
+                              topk=args.topk, seed=args.seed)
     else:
         print(f"Interactive mode (temp={args.temp}, topk={args.topk})")
         while True:
@@ -96,7 +103,8 @@ def main(argv=None):
                     break
                 if text.strip():
                     tts_engine.say(text, output_filename=None,
-                                   temperature=args.temp, topk=args.topk)
+                                   temperature=args.temp, topk=args.topk,
+                                   seed=args.seed)
             except (EOFError, KeyboardInterrupt):
                 break
         print("\nExiting interactive mode.")

@@ -177,9 +177,13 @@ class TTS:
         max_audio_length_ms: float = 60_000,
         temperature: float = 0.9,
         topk: int = 50,
+        seed: Optional[int] = None,
     ) -> np.ndarray:
         """Generate from cached voice context; watermark the result
-        (reference tts_service.py:170-258)."""
+        (reference tts_service.py:170-258).  ``seed`` makes the
+        utterance reproducible (extension — the reference has no
+        reproducibility story; the Generator's per-frame keys are
+        fold_in(seed-derived key, frame index))."""
         assert self.generator is not None, "Model not loaded"
         audio = self.generator.generate(
             prompt,
@@ -189,6 +193,7 @@ class TTS:
             temperature=temperature,
             topk=topk,
             cached_context=self.cached_context,
+            seed=seed,
         )
         if self.enable_watermark and self.watermarker is not None and len(audio):
             audio, wm_rate = watermark(
@@ -208,11 +213,12 @@ class TTS:
         end_silence_duration: int = 100,
         temperature: float = 0.8,
         topk: int = 40,
+        seed: Optional[int] = None,
     ) -> AudioClip:
         """→ normalized, padded, faded clip (reference tts_service.py:260-308)."""
         audio = self.generate_with_context(
             prompt, speaker=1, max_audio_length_ms=30_000,
-            temperature=temperature, topk=topk,
+            temperature=temperature, topk=topk, seed=seed,
         )
         clip = AudioClip.from_float(audio, self.generator.sample_rate).normalize()
         clip = clip.pad(start_silence_duration, end_silence_duration)
@@ -252,9 +258,11 @@ class TTS:
         temperature: float = 0.8,
         topk: int = 40,
         play: bool = True,
+        seed: Optional[int] = None,
     ) -> list:
         """Sentence pipeline with overlapped playback + RTF metrics
-        (reference tts_service.py:313-470). Returns the clips."""
+        (reference tts_service.py:313-470). Returns the clips.
+        ``seed``: sentence i uses ``seed + i`` (see export_wav)."""
         import textwrap
 
         text = textwrap.dedent(text).strip()
@@ -288,7 +296,7 @@ class TTS:
             player_thread = threading.Thread(target=player, daemon=True)
             player_thread.start()
 
-        for sentence in sentences:
+        for i, sentence in enumerate(sentences):
             try:
                 start = time.time()
                 print(f"> {sentence} ... ", end="", flush=True)
@@ -299,6 +307,7 @@ class TTS:
                     end_silence_duration=end_silence_duration,
                     temperature=temperature,
                     topk=topk,
+                    seed=None if seed is None else seed + i,
                 )
                 proc = time.time() - start
                 dur = seg.duration_seconds
@@ -338,14 +347,20 @@ class TTS:
         max_retries: int = 2,
         temperature: float = 0.8,
         topk: int = 40,
+        seed: Optional[int] = None,
     ) -> None:
         """Per-sentence retry with silent fallback, combined export
-        (reference tts_service.py:472-525)."""
+        (reference tts_service.py:472-525).  With ``seed``, sentence i
+        uses ``seed + i`` — the whole multi-sentence export is
+        reproducible while sentences stay independently keyed (retries
+        reuse the sentence's seed: they exist for transient infra
+        errors, not for re-rolling the sampler)."""
         sentences = split_sentences(text)
         clips = []
-        for sentence in sentences:
+        for i, sentence in enumerate(sentences):
             retries = 0
             seg = None
+            sent_seed = None if seed is None else seed + i
             while retries <= max_retries:
                 try:
                     print(
@@ -353,7 +368,8 @@ class TTS:
                         f"(Attempt {retries + 1})"
                     )
                     seg = self.generate_audio_segment(
-                        sentence, temperature=temperature, topk=topk
+                        sentence, temperature=temperature, topk=topk,
+                        seed=sent_seed,
                     )
                     break
                 except Exception as e:
