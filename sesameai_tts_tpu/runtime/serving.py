@@ -176,6 +176,12 @@ class BatchedTTSServer:
         # host: a busy-waiting bulk caller would steal the core the
         # decode threads need (VERDICT r4 #7)
         self._backlog_cv = threading.Condition(self._lock)
+        # submit(wait=True) callers parked on the CV: part of the real
+        # admission backlog but invisible to _pending.qsize() (bounded by
+        # max_pending), so _tick_size counts them explicitly — otherwise
+        # a bulk burst against a small max_pending reads as a shallow
+        # interactive backlog and runs permanently capped ticks
+        self._parked = 0
         self._inflight = None  # lag-1 dispatched tick awaiting fetch
         self._running = False
         # structured observability (SURVEY.md §5: the reference has only
@@ -386,7 +392,11 @@ class BatchedTTSServer:
                 # blocked by us. The timeout is a missed-wakeup backstop
                 # only — steady state costs zero CPU (the old 5 ms poll
                 # burned the single host core bulk decode needs)
-                self._backlog_cv.wait(timeout=0.5)
+                self._parked += 1
+                try:
+                    self._backlog_cv.wait(timeout=0.5)
+                finally:
+                    self._parked -= 1
 
     def _retry_after_estimate(self) -> float:
         """Seconds until the backlog likely has room: queued work divided
@@ -785,7 +795,7 @@ class BatchedTTSServer:
     def _tick_size(self) -> int:
         """Per-dispatch tick size: {chunk, 3} only (fixed program set)."""
         backlog = (self._pending.qsize() + self._ready.qsize()
-                   + self._admitting)
+                   + self._admitting + self._parked)
         if 0 < backlog <= self.ATTACH_PRIORITY_MAX_BACKLOG:
             return min(self.chunk, 3)
         return self.chunk

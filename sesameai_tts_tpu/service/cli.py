@@ -47,7 +47,10 @@ def main(argv=None):
         "flagship generation is always watermarked, matching the "
         "reference's unconditional watermarking)",
     )
-    parser.add_argument("--max-ms", type=float, default=30_000)
+    parser.add_argument(
+        "--max-ms", type=float, default=30_000,
+        help="Per-sentence generation cap in milliseconds",
+    )
     parser.add_argument(
         "--seed", type=int, default=None,
         help="Reproducible synthesis: the same seed + text + weights "
@@ -93,7 +96,8 @@ def main(argv=None):
 
     if args.text:
         tts_engine.export_wav(args.text, args.output, temperature=args.temp,
-                              topk=args.topk, seed=args.seed)
+                              topk=args.topk, seed=args.seed,
+                              max_audio_length_ms=args.max_ms)
     else:
         print(f"Interactive mode (temp={args.temp}, topk={args.topk})")
         while True:
@@ -104,7 +108,8 @@ def main(argv=None):
                 if text.strip():
                     tts_engine.say(text, output_filename=None,
                                    temperature=args.temp, topk=args.topk,
-                                   seed=args.seed)
+                                   seed=args.seed,
+                                   max_audio_length_ms=args.max_ms)
             except (EOFError, KeyboardInterrupt):
                 break
         print("\nExiting interactive mode.")

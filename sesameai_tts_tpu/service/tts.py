@@ -214,10 +214,11 @@ class TTS:
         temperature: float = 0.8,
         topk: int = 40,
         seed: Optional[int] = None,
+        max_audio_length_ms: float = 30_000,
     ) -> AudioClip:
         """→ normalized, padded, faded clip (reference tts_service.py:260-308)."""
         audio = self.generate_with_context(
-            prompt, speaker=1, max_audio_length_ms=30_000,
+            prompt, speaker=1, max_audio_length_ms=max_audio_length_ms,
             temperature=temperature, topk=topk, seed=seed,
         )
         clip = AudioClip.from_float(audio, self.generator.sample_rate).normalize()
@@ -259,10 +260,12 @@ class TTS:
         topk: int = 40,
         play: bool = True,
         seed: Optional[int] = None,
+        max_audio_length_ms: float = 30_000,
     ) -> list:
         """Sentence pipeline with overlapped playback + RTF metrics
         (reference tts_service.py:313-470). Returns the clips.
-        ``seed``: sentence i uses ``seed + i`` (see export_wav)."""
+        ``seed``: sentence i uses ``seed + i`` (see export_wav).
+        ``max_audio_length_ms`` caps each SENTENCE (the CLI's --max-ms)."""
         import textwrap
 
         text = textwrap.dedent(text).strip()
@@ -308,6 +311,7 @@ class TTS:
                     temperature=temperature,
                     topk=topk,
                     seed=None if seed is None else seed + i,
+                    max_audio_length_ms=max_audio_length_ms,
                 )
                 proc = time.time() - start
                 dur = seg.duration_seconds
@@ -348,6 +352,7 @@ class TTS:
         temperature: float = 0.8,
         topk: int = 40,
         seed: Optional[int] = None,
+        max_audio_length_ms: float = 30_000,
     ) -> None:
         """Per-sentence retry with silent fallback, combined export
         (reference tts_service.py:472-525).  With ``seed``, sentence i
@@ -369,7 +374,7 @@ class TTS:
                     )
                     seg = self.generate_audio_segment(
                         sentence, temperature=temperature, topk=topk,
-                        seed=sent_seed,
+                        seed=sent_seed, max_audio_length_ms=max_audio_length_ms,
                     )
                     break
                 except Exception as e:

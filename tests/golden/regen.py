@@ -11,6 +11,12 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["JAX_PLATFORM_NAME"] = "cpu"
+# mirror conftest's 8-virtual-device CPU client exactly: the golden must
+# be produced by the same XLA client configuration the suite verifies
+# it under
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = _flags + " --xla_force_host_platform_device_count=8"
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")

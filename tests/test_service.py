@@ -221,6 +221,27 @@ def test_cli_tiny_flavor(tmp_path, voice_dir, monkeypatch):
     assert out.exists()
 
 
+def test_max_audio_length_plumbs_to_generation(tts, monkeypatch, tmp_path):
+    """The CLI's --max-ms was parsed but never used (review finding):
+    the cap must reach generate_with_context through BOTH sentence
+    pipelines (generation length itself is stochastic — tiny random
+    weights may EOS any frame — so pin the plumbing, not the audio)."""
+    seen = []
+    orig = tts.generate_with_context
+
+    def spy(prompt, **kw):
+        seen.append(kw.get("max_audio_length_ms"))
+        return orig(prompt, **kw)
+
+    monkeypatch.setattr(tts, "generate_with_context", spy)
+    tts.generate_audio_segment("endless", topk=5, max_audio_length_ms=400)
+    assert seen == [400]
+    seen.clear()
+    tts.export_wav("one sentence", str(tmp_path / "m.wav"), topk=5,
+                   max_audio_length_ms=720)
+    assert seen == [720]
+
+
 def test_generate_tts_audio_helper(tts, tmp_path):
     """Temp-WAV helper parity (reference utils/tts_utils.py:47-107)."""
     import os

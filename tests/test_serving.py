@@ -385,3 +385,11 @@ def test_tick_size_backlog_aware(server):
     while not srv._pending.empty():
         srv._pending.get_nowait()
     assert srv._tick_size() == 10
+    # submit(wait=True) callers parked on the backlog CV are part of the
+    # real backlog even though _pending.qsize() is pinned by max_pending
+    # — without counting them, a bulk burst against a small max_pending
+    # reads as shallow and runs permanently capped ticks
+    srv._pending.put_nowait(object())
+    srv._parked = srv.ATTACH_PRIORITY_MAX_BACKLOG
+    assert srv._tick_size() == 10            # 1 queued + 4 parked = deep
+    srv._parked = 0
