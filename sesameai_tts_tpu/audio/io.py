@@ -101,3 +101,22 @@ def write_wav(path: str, audio: np.ndarray, sample_rate: int) -> None:
         w.setsampwidth(2)
         w.setframerate(sample_rate)
         w.writeframes(pcm16.T.tobytes())
+
+
+def streaming_wav_header(sample_rate: int, channels: int = 1,
+                         bits: int = 16) -> bytes:
+    """44-byte PCM WAV header with unknown-length RIFF/data sizes.
+
+    For chunked/streamed responses where the total length is unknown at
+    header time: both size fields are 0xFFFFFFFF (the de-facto
+    streaming-WAV convention — decoders, ``read_wav`` above included,
+    read the data chunk to EOF).  Emitted by the OpenAI-compatible
+    streaming endpoint (service/http_api.py) ahead of raw s16le frames.
+    """
+    block = channels * bits // 8
+    return b"".join([
+        b"RIFF", struct.pack("<I", 0xFFFFFFFF), b"WAVE",
+        b"fmt ", struct.pack("<IHHIIHH", 16, 1, channels, sample_rate,
+                             sample_rate * block, block, bits),
+        b"data", struct.pack("<I", 0xFFFFFFFF),
+    ])

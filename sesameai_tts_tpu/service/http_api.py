@@ -14,8 +14,13 @@ Stdlib-only (no framework deps in this environment):
                         OpenAI Audio-API-compatible: {"input": ..., "voice":
                         ..., "response_format": "wav"|"pcm", "speed": 1.0}
                         (plus the /tts extension knobs) → audio bytes.
-                        Clients written against the de-facto TTS serving
-                        protocol work against this engine unchanged.
+                        "stream_format": "audio" streams the encoded bytes
+                        chunked as the engine emits them (wav = streaming
+                        RIFF header + s16le frames); "stream_format": "sse"
+                        streams speech.audio.delta / speech.audio.done
+                        events (text/event-stream, base64 audio).  Clients
+                        written against the de-facto TTS serving protocol —
+                        buffered or streaming — work unchanged.
     GET  /healthz       → {"status": "ok", "slots": B}
     GET  /metrics       → engine metrics JSON (TTFA/session percentiles,
                           frame + session counters, slot occupancy)
@@ -57,6 +62,12 @@ def _wav_bytes(audio: np.ndarray, rate: int) -> bytes:
     buf = io.BytesIO()
     write_wav(buf, audio, rate)  # the framework's one WAV serializer
     return buf.getvalue()
+
+
+class _SessionFailed(Exception):
+    """An engine session ended with an error mid-stream (distinct from
+    transport/framing failures so callers can skip the redundant
+    cancel())."""
 
 
 class TTSRequestHandler(BaseHTTPRequestHandler):
@@ -239,19 +250,53 @@ class TTSRequestHandler(BaseHTTPRequestHandler):
             return
 
         # /tts/stream — chunked raw float32 PCM, flushed as emitted.
-        # With a watermarker configured (flagship), PCM flows through the
-        # STREAMING embedder (watermark/stream.py) — DSP scheme and the
-        # ported silentcipher net both stream: one continuous watermark
-        # across the whole response at ~0.1-0.2 s pipeline latency,
-        # every ≥4 s prefix verifiable.  Unknown backends fall back to
-        # ≥4 s watermarked groups.  (The reference's own streaming path
-        # emits unwatermarked audio; this surface does not.)
         self.send_response(200)
         self.send_header(
             "Content-Type", "audio/pcm;rate=%d;encoding=float32" % self.sample_rate
         )
         self.send_header("Transfer-Encoding", "chunked")
         self.end_headers()
+        try:
+            for piece in self._iter_watermarked(session):
+                self._write_chunk(piece.astype(np.float32).tobytes())
+            self.wfile.write(b"0\r\n\r\n")
+        except (BrokenPipeError, ConnectionResetError):
+            session.cancel()  # client hung up: free the slot
+            self.close_connection = True
+        except _SessionFailed:
+            # abort WITHOUT the clean terminator: the client sees a
+            # truncated chunked body, not a well-formed empty success
+            logger.error("stream session failed: %s", session.error)
+            self.close_connection = True
+        except Exception:
+            logger.exception("stream aborted")
+            session.cancel()
+            self.close_connection = True
+
+    def _write_chunk(self, raw: bytes) -> None:
+        """One HTTP/1.1 chunked-transfer frame, flushed immediately."""
+        if not raw:
+            return
+        self.wfile.write(b"%x\r\n" % len(raw) + raw + b"\r\n")
+        self.wfile.flush()
+
+    def _iter_watermarked(self, session):
+        """Yield float32 PCM pieces (watermarked when configured) as the
+        engine emits them — the pump under /tts/stream and the OpenAI
+        streaming framings.
+
+        With a watermarker configured (flagship), PCM flows through the
+        STREAMING embedder (watermark/stream.py) — DSP scheme and the
+        ported silentcipher net both stream: one continuous watermark
+        across the whole response at ~0.1-0.2 s pipeline latency, every
+        ≥4 s prefix verifiable.  Unknown backends fall back to ≥4 s
+        watermarked groups.  (The reference's own streaming path emits
+        unwatermarked audio; this surface does not.)
+
+        Raises TimeoutError when the per-request deadline expires and
+        ``_SessionFailed`` when the engine session errored — callers
+        translate those into their framing's abort semantics.
+        """
         stream_wm = None
         group_samples = 0
         if self.watermarker is not None:
@@ -263,59 +308,40 @@ class TTSRequestHandler(BaseHTTPRequestHandler):
                 group_samples = 4 * self.sample_rate
         buf = []
 
-        def send(raw: np.ndarray):
-            if not len(raw):
-                return
-            raw = raw.astype(np.float32).tobytes()
-            self.wfile.write(b"%x\r\n" % len(raw) + raw + b"\r\n")
-            self.wfile.flush()
-
-        def flush_group(chunks):
-            if not chunks:
-                return
+        def wm_group(chunks):
             raw = np.concatenate(chunks).astype(np.float32)
-            send(self._maybe_watermark(raw).astype(np.float32))
+            return self._maybe_watermark(raw).astype(np.float32)
 
         deadline = time.monotonic() + self.request_timeout
-        try:
-            while True:
-                rem = deadline - time.monotonic()
-                if rem <= 0:
-                    raise TimeoutError(
-                        f"request deadline ({self.request_timeout:.0f}s) "
-                        "exceeded"
-                    )
-                chunk = session.chunks.get(timeout=rem)
-                if chunk is None:
-                    break
-                pcm = np.asarray(chunk, np.float32)
-                if stream_wm is not None:
-                    send(stream_wm.feed(pcm))
-                elif group_samples:
-                    buf.append(pcm)
-                    if sum(len(c) for c in buf) >= group_samples:
-                        flush_group(buf)
-                        buf = []
-                else:
-                    send(pcm)
-            if session.error is not None:
-                # abort WITHOUT the clean terminator: the client sees a
-                # truncated chunked body, not a well-formed empty success
-                logger.error("stream session failed: %s", session.error)
-                self.close_connection = True
-                return
+        while True:
+            rem = deadline - time.monotonic()
+            if rem <= 0:
+                raise TimeoutError(
+                    f"request deadline ({self.request_timeout:.0f}s) exceeded"
+                )
+            chunk = session.chunks.get(timeout=rem)
+            if chunk is None:
+                break
+            pcm = np.asarray(chunk, np.float32)
             if stream_wm is not None:
-                send(stream_wm.close())
-            else:
-                flush_group(buf)
-            self.wfile.write(b"0\r\n\r\n")
-        except (BrokenPipeError, ConnectionResetError):
-            session.cancel()  # client hung up: free the slot
-            self.close_connection = True
-        except Exception:
-            logger.exception("stream aborted")
-            session.cancel()
-            self.close_connection = True
+                piece = stream_wm.feed(pcm)
+                if len(piece):
+                    yield piece
+            elif group_samples:
+                buf.append(pcm)
+                if sum(len(c) for c in buf) >= group_samples:
+                    yield wm_group(buf)
+                    buf = []
+            elif len(pcm):
+                yield pcm
+        if session.error is not None:
+            raise _SessionFailed(str(session.error))
+        if stream_wm is not None:
+            tail = stream_wm.close()
+            if len(tail):
+                yield tail
+        elif buf:
+            yield wm_group(buf)
 
     def _openai_speech(self):
         """OpenAI-compatible ``POST /v1/audio/speech``.
@@ -330,7 +356,9 @@ class TTSRequestHandler(BaseHTTPRequestHandler):
         speed-up-only slider, reference tts_base.py:107-108).  The /tts
         extension knobs (max_audio_length_ms, temperature, topk,
         speaker) pass through.  The watermark embeds AFTER the speed
-        change so the delivered audio carries a verifiable mark."""
+        change so the delivered audio carries a verifiable mark.
+        ``stream_format`` ∈ {"audio", "sse"} switches to the OpenAI
+        streaming framings (``_openai_speech_stream``)."""
         body = self._read_body()
         if body is None:
             return
@@ -342,6 +370,14 @@ class TTSRequestHandler(BaseHTTPRequestHandler):
         if fmt not in ("wav", "pcm"):
             self._error(
                 400, f"unsupported response_format {fmt!r}; supported: wav, pcm"
+            )
+            return
+        stream_format = body.get("stream_format")
+        if stream_format is not None and stream_format not in ("audio", "sse"):
+            self._error(
+                400,
+                f"unsupported stream_format {stream_format!r}; "
+                "supported: audio, sse",
             )
             return
         try:
@@ -375,6 +411,9 @@ class TTSRequestHandler(BaseHTTPRequestHandler):
         })
         if session is None:
             return
+        if stream_format is not None:
+            self._openai_speech_stream(session, fmt, speed, stream_format)
+            return
         try:
             audio = session.audio(timeout=self.request_timeout)
         except Exception as e:
@@ -404,6 +443,94 @@ class TTSRequestHandler(BaseHTTPRequestHandler):
             self.wfile.write(payload)
         except (BrokenPipeError, ConnectionResetError):
             pass  # generation already complete; nothing to cancel
+
+    def _openai_speech_stream(self, session, fmt: str, speed: float,
+                              stream_format: str) -> None:
+        """OpenAI Audio-API streaming framings over a live session.
+
+        ``stream_format == "audio"``: chunked transfer of the encoded
+        audio bytes as the engine emits them — for ``pcm`` raw s16le
+        pieces, for ``wav`` a streaming RIFF header (unknown-length
+        sizes) followed by s16le frames.  ``stream_format == "sse"``:
+        ``text/event-stream`` of ``speech.audio.delta`` events carrying
+        base64-encoded audio (encoded per ``response_format``) and a
+        final ``speech.audio.done`` event — the OpenAI SDK's
+        ``with_streaming_response`` / event-stream consumers work
+        unchanged.  Audio is watermarked by the same streaming pump as
+        /tts/stream.
+
+        ``speed > 1`` cannot stream incrementally (the pitch-preserving
+        speedup needs the whole utterance, audio/segment.py::speedup);
+        the response keeps the requested framing but carries one
+        buffered piece.
+        """
+        import base64
+
+        def pieces():
+            if speed > 1.0:
+                audio = session.audio(timeout=self.request_timeout)
+                if len(audio):
+                    from sesameai_tts_tpu.audio.segment import AudioClip
+
+                    audio = AudioClip.from_float(
+                        audio, self.sample_rate
+                    ).speedup(playback_speed=speed).samples
+                audio = self._maybe_watermark(np.asarray(audio, np.float32))
+                peak = float(np.abs(audio).max(initial=0.0))
+                if peak > 1.0:  # 16-bit clipping would destroy the watermark
+                    audio = audio / peak
+                if len(audio):
+                    yield audio.astype(np.float32)
+            else:
+                yield from self._iter_watermarked(session)
+
+        def encode(piece: np.ndarray) -> bytes:
+            # same s16le encode as the buffered pcm path; per-piece clip
+            # (a stream cannot be peak-normalized globally)
+            return (np.clip(piece, -1.0, 1.0) * 32767.0).astype("<i2").tobytes()
+
+        from sesameai_tts_tpu.audio.io import streaming_wav_header
+
+        if stream_format == "audio":
+            ctype = ("audio/wav" if fmt == "wav" else
+                     "audio/pcm;rate=%d;encoding=s16le" % self.sample_rate)
+        else:
+            ctype = "text/event-stream"
+        self.send_response(200)
+        self.send_header("Content-Type", ctype)
+        self.send_header("Transfer-Encoding", "chunked")
+        if stream_format == "sse":
+            self.send_header("Cache-Control", "no-cache")
+        self.end_headers()
+        # the wav header rides the FIRST delta so every prefix of the
+        # reassembled byte stream is a playable (streaming) WAV
+        header = streaming_wav_header(self.sample_rate) if fmt == "wav" else b""
+        try:
+            if stream_format == "audio":
+                self._write_chunk(header)
+                for piece in pieces():
+                    self._write_chunk(encode(piece))
+            else:
+                for piece in pieces():
+                    evt = json.dumps({
+                        "type": "speech.audio.delta",
+                        "audio": base64.b64encode(
+                            header + encode(piece)).decode(),
+                    })
+                    header = b""
+                    self._write_chunk(b"data: " + evt.encode() + b"\n\n")
+                self._write_chunk(b'data: {"type": "speech.audio.done"}\n\n')
+            self.wfile.write(b"0\r\n\r\n")
+        except (BrokenPipeError, ConnectionResetError):
+            session.cancel()  # client hung up: free the slot
+            self.close_connection = True
+        except _SessionFailed:
+            logger.error("openai stream session failed: %s", session.error)
+            self.close_connection = True
+        except Exception:
+            logger.exception("openai stream aborted")
+            session.cancel()
+            self.close_connection = True
 
     def _maybe_watermark(self, audio: np.ndarray) -> np.ndarray:
         if self.watermarker is None or not len(audio):

@@ -274,6 +274,55 @@ def test_tts_stream_watermarked_flows_through_streaming_embedder(api):
         engine.stop()
 
 
+def test_stream_client_disconnect_frees_slot(api):
+    """A client that hangs up mid-/tts/stream gets its session cancelled
+    (the handler's BrokenPipe path) so the slot stops burning its
+    max_audio_length_ms budget — PARITY.md's disconnect claim, pinned."""
+    import socket
+    import struct
+    import time as _time
+
+    base, gen = api
+    from sesameai_tts_tpu.runtime.serving import BatchedTTSServer
+    from sesameai_tts_tpu.service.http_api import serve as _serve
+
+    engine = BatchedTTSServer(gen, slots=1, chunk_frames=4)
+    engine.start()
+    httpd = _serve(engine, host="127.0.0.1", port=0,
+                   sample_rate=gen.sample_rate)
+    try:
+        body = json.dumps({"text": "a very long stream nobody listens to",
+                           "max_audio_length_ms": 60_000, "topk": 5}).encode()
+        s = socket.create_connection(
+            ("127.0.0.1", httpd.server_address[1]), timeout=300)
+        s.sendall(b"POST /tts/stream HTTP/1.1\r\nHost: t\r\n"
+                  b"Content-Type: application/json\r\n"
+                  b"Content-Length: %d\r\n\r\n" % len(body) + body)
+        first = s.recv(65536)  # status line + headers (+ maybe chunks)
+        assert b"200" in first.split(b"\r\n", 1)[0]
+        deadline = _time.time() + 300
+        while _time.time() < deadline:  # session reaches its slot first —
+            if engine.metrics_summary()["slots_occupied"] == 1:  # else the
+                break                   # final poll could pass vacuously
+            _time.sleep(0.1)
+        # hang up HARD (RST via zero-linger) so the server's next chunk
+        # write raises instead of filling a dead socket's buffer
+        s.setsockopt(socket.SOL_SOCKET, socket.SO_LINGER,
+                     struct.pack("ii", 1, 0))
+        s.close()
+        deadline = _time.time() + 300
+        while _time.time() < deadline:
+            if engine.metrics_summary()["slots_occupied"] == 0:
+                break
+            _time.sleep(0.25)
+        else:
+            raise AssertionError(
+                "slot still occupied long after the client disconnected")
+    finally:
+        httpd.shutdown()
+        engine.stop()
+
+
 def test_openai_speech_wav_and_pcm(api):
     """OpenAI-compatible /v1/audio/speech: `input`/`voice` mapping, wav
     and pcm response formats, `speed` time-scale compression."""
@@ -351,6 +400,102 @@ def test_tts_rejects_hostile_parameters(api):
         with pytest.raises(urllib.error.HTTPError) as ei:
             _post(base, "/tts", body)
         assert ei.value.code == 400, body
+
+
+def test_openai_speech_stream_audio(api):
+    """`stream_format: "audio"` streams the encoded bytes chunked: pcm =
+    raw s16le; wav = streaming RIFF header (unknown-length sizes) +
+    s16le frames. Greedy sampling → streamed pcm is byte-identical to
+    the buffered pcm response."""
+    base, gen = api
+    body = {"input": "stream format audio utterance", "voice": "demo",
+            "max_audio_length_ms": 800, "temperature": 1.0, "topk": 1,
+            "response_format": "pcm"}
+    with _post(base, "/v1/audio/speech", body) as r:
+        buffered = r.read()
+    with _post(base, "/v1/audio/speech",
+               {**body, "stream_format": "audio"}) as r:
+        assert r.headers["Content-Type"].startswith("audio/pcm")
+        assert r.headers.get("Content-Length") is None  # chunked
+        streamed = r.read()
+    assert len(streamed) > 0 and len(streamed) % (2 * gen._hop) == 0
+    # byte-identical unless the buffered path peak-normalized (>1.0 peak
+    # on random weights) — then lengths still must match exactly
+    assert len(streamed) == len(buffered)
+    if np.abs(np.frombuffer(buffered, "<i2")).max() < 32700:
+        assert streamed == buffered
+
+    with _post(base, "/v1/audio/speech",
+               {**body, "response_format": "wav",
+                "stream_format": "audio"}) as r:
+        assert r.headers["Content-Type"] == "audio/wav"
+        wav = r.read()
+    assert wav[:4] == b"RIFF" and wav[8:12] == b"WAVE"
+    assert wav[4:8] == b"\xff\xff\xff\xff"  # streaming: unknown length
+    assert len(wav) == 44 + len(streamed)  # same frames, header in front
+
+    # the streamed wav parses through the framework's own reader
+    import tempfile
+
+    with tempfile.NamedTemporaryFile(suffix=".wav") as f:
+        f.write(wav)
+        f.flush()
+        from sesameai_tts_tpu.audio.io import read_wav
+
+        audio, rate = read_wav(f.name)
+    assert rate == gen.sample_rate and audio.shape[1] == len(streamed) // 2
+
+
+def test_openai_speech_stream_sse(api):
+    """`stream_format: "sse"`: text/event-stream of speech.audio.delta
+    events (base64 audio) closed by speech.audio.done — the OpenAI
+    Audio API's SSE framing."""
+    base, gen = api
+    import base64
+
+    body = {"input": "sse framing utterance", "voice": "demo",
+            "max_audio_length_ms": 800, "temperature": 1.0, "topk": 1,
+            "response_format": "pcm", "stream_format": "sse"}
+    with _post(base, "/v1/audio/speech", body) as r:
+        assert r.headers["Content-Type"] == "text/event-stream"
+        raw = r.read().decode()
+    events = [json.loads(line[len("data: "):])
+              for line in raw.split("\n\n") if line.startswith("data: ")]
+    assert events[-1]["type"] == "speech.audio.done"
+    deltas = [e for e in events[:-1] if e["type"] == "speech.audio.delta"]
+    assert deltas, "no audio deltas before done"
+    pcm = b"".join(base64.b64decode(e["audio"]) for e in deltas)
+    assert len(pcm) > 0 and len(pcm) % (2 * gen._hop) == 0
+
+    # wav-over-sse: the streaming RIFF header rides the first delta so
+    # every prefix of the reassembled bytes is a playable WAV
+    with _post(base, "/v1/audio/speech",
+               {**body, "response_format": "wav"}) as r:
+        raw = r.read().decode()
+    first = next(json.loads(line[len("data: "):])
+                 for line in raw.split("\n\n") if line.startswith("data: "))
+    assert base64.b64decode(first["audio"])[:4] == b"RIFF"
+
+
+def test_openai_speech_stream_speed_buffers(api):
+    """speed > 1 cannot stream incrementally (pitch-preserving speedup
+    needs the full utterance): same framing, one buffered piece, and the
+    audio is shorter than the unsped stream."""
+    base, _ = api
+    body = {"input": "speed streamed utterance for comparison",
+            "voice": "demo", "max_audio_length_ms": 1600,
+            "temperature": 1.0, "topk": 1, "response_format": "pcm",
+            "stream_format": "audio"}
+    with _post(base, "/v1/audio/speech", body) as r:
+        normal = r.read()
+    with _post(base, "/v1/audio/speech", {**body, "speed": 2.0}) as r:
+        fast = r.read()
+    assert 0 < len(fast) <= len(normal)
+
+    with pytest.raises(urllib.error.HTTPError) as ei:
+        _post(base, "/v1/audio/speech",
+              {"input": "x", "stream_format": "events"})
+    assert ei.value.code == 400
 
 
 def test_openai_models_listing(api):
