@@ -36,6 +36,11 @@ Final JSON fields (numbers, or "skipped"/"error:..." strings):
   bench_prompt_tokens             prompt rows under the pinned REAL-format
                                   tokenizer (sesameai_tts_tpu/assets/ —
                                   no byte-fallback 4x correction any more)
+  stall_credit_s                  (only after a TPU-service stall) seconds
+                                  the first dispatch hung before
+                                  self-recovering, credited back to the
+                                  wall budget (capped 900) so a platform
+                                  stall phase cannot skip every section
 
 RTF = wall-clock processing seconds per second of audio produced by the
 full pipeline (prefill -> AR frame decode -> Mimi decode), flagship
@@ -88,6 +93,24 @@ def flush():
 
 def remaining() -> float:
     return BUDGET_S - (time.time() - T_START)
+
+
+def credit_stall(stall_s: float, cap_s: float = 900.0):
+    """Give back budget consumed by a TPU-service STALL (the first
+    dispatch of a process can hang 6-16 min and self-recover — a known
+    platform phase, not this program's cost).  Without the credit a
+    stall drains the wall budget while nothing runs and EVERY section
+    then skips: a complete-looking record with no numbers (seen round
+    5).  Running past the budget is safe — the driver's own timeout
+    lands a SIGTERM and the handler flushes whatever completed, which
+    beats an all-"skipped" rc=0 record.  Capped so a pathological hang
+    cannot extend the run unboundedly."""
+    global T_START
+    credit = min(stall_s, cap_s)
+    T_START += credit
+    RESULTS["stall_credit_s"] = round(credit, 1)
+    print(f"[budget] first-dispatch stall {stall_s:.0f}s — crediting "
+          f"{credit:.0f}s back to the wall budget", file=sys.stderr)
 
 
 def section(name: str, needs_s: float):
@@ -176,7 +199,11 @@ def main():
     # -- canary 0: link RTT, BEFORE any build (trivial dispatch+fetch) -----
     def s_rtt():
         x = jnp.zeros((8,), jnp.float32)
+        t_first = time.perf_counter()
         np.asarray(x + 1.0)  # compile + first fetch
+        first_s = time.perf_counter() - t_first
+        if first_s > 60.0:  # service stall phase, not a program cost
+            credit_stall(first_s)
         t0 = time.perf_counter()
         reps = 5
         for i in range(reps):
@@ -476,9 +503,6 @@ def main():
               f"context): first {1000*turn_ttfa[0]:.0f} ms, warm median "
               f"{duplex_ms:.0f} ms (target < 500 ms)", file=sys.stderr)
 
-    if section("duplex", 240):
-        guard("duplex", s_duplex, "duplex_turn_ttfa_ms")
-
     # -- cold start: fresh executable caches -> warmup -> FIRST request ----
     # clone() = same weights, EMPTY jit executable caches — exactly a
     # restarted server's state (it repopulates from the persistent disk
@@ -501,9 +525,17 @@ def main():
               f"first-request TTFA {RESULTS['cold_start_first_ttfa_ms']:.0f} "
               f"ms (must ~= warm p50, no >1 s outlier)", file=sys.stderr)
 
+    # cold_start runs BEFORE duplex: it carries two JSON fields to
+    # duplex's one, and its warmup repopulates from the persistent disk
+    # cache at a predictable ~250 s, while duplex's encode-bucket warmup
+    # is exposed to remote-compile variance (measured 730 s in one slow
+    # phase — it starved this section of both its fields)
     if section("cold_start", 180):
         guard("cold_start", s_cold, "warmup_wall_s",
               "cold_start_first_ttfa_ms")
+
+    if section("duplex", 300):
+        guard("duplex", s_duplex, "duplex_turn_ttfa_ms")
 
     # stderr-context sections last: they carry no JSON fields, so under a
     # squeezed budget they are the right ones to lose
