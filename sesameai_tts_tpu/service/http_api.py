@@ -6,7 +6,9 @@ deployments need a plain HTTP endpoint in front of the batched engine.
 Stdlib-only (no framework deps in this environment):
 
     POST /tts           {"text": ..., "speaker": 1, "max_audio_length_ms":
-                         30000, "temperature": 0.8, "topk": 40, "voice": ...}
+                         30000, "temperature": 0.8, "topk": 40, "voice": ...,
+                         "priority": 0|1 (optional; unset = derived — short
+                         budgets admit ahead of bulk, runtime/serving.py)}
                         → audio/wav (16-bit PCM, 24 kHz)
     POST /tts/stream    same body → chunked audio/pcm;rate=24000;encoding=
                         float32 — chunks flush as the engine emits them
@@ -136,6 +138,11 @@ class TTSRequestHandler(BaseHTTPRequestHandler):
             max_ms = float(body.get("max_audio_length_ms", 30_000))
             temperature = float(body.get("temperature", 0.8))
             topk = int(body.get("topk", 40))
+            # admission class (lower admits first); unset = derived from
+            # max_audio_length_ms (short = interactive, runtime/serving.py)
+            priority = body.get("priority")
+            if priority is not None:
+                priority = int(priority)
         except (TypeError, ValueError, OverflowError) as e:
             self._error(400, f"bad parameters: {e}")
             return None
@@ -162,6 +169,7 @@ class TTSRequestHandler(BaseHTTPRequestHandler):
                 max_audio_length_ms=max_ms,
                 temperature=temperature,
                 topk=topk,
+                priority=priority,
                 cached_context=cached,
             )
         except ServerSaturated as e:

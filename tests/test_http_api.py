@@ -504,3 +504,18 @@ def test_openai_models_listing(api):
         listing = json.loads(r.read())
     assert listing["object"] == "list"
     assert listing["data"][0]["id"] == "csm-1b"
+
+
+def test_tts_priority_knob(api):
+    """The "priority" body knob reaches the admission queue (lower
+    admits first, runtime/serving.py); a non-integer value is a 400,
+    never a crashed handler."""
+    base, _ = api
+    with _post(base, "/tts", {"text": "priority zero please",
+                              "max_audio_length_ms": 400,
+                              "priority": 0, "topk": 5}) as r:
+        assert r.status == 200
+        assert len(r.read()) > 44  # WAV header + some PCM
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(base, "/tts", {"text": "bad prio", "priority": "soon"})
+    assert e.value.code == 400

@@ -377,10 +377,11 @@ def test_tick_size_backlog_aware(server):
     srv._admitting = 1
     assert srv._tick_size() == 3             # interactive: cap
     srv._admitting = 0
-    for _ in range(srv.ATTACH_PRIORITY_MAX_BACKLOG):
-        srv._pending.put_nowait(object())
+    # _pending entries are (priority, seq, session) heap items
+    for i in range(srv.ATTACH_PRIORITY_MAX_BACKLOG):
+        srv._pending.put_nowait((1, i, None))
     assert srv._tick_size() == 3             # at the threshold: still cap
-    srv._pending.put_nowait(object())
+    srv._pending.put_nowait((1, 99, None))
     assert srv._tick_size() == 10            # deep bulk burst: full ticks
     while not srv._pending.empty():
         srv._pending.get_nowait()
@@ -389,7 +390,83 @@ def test_tick_size_backlog_aware(server):
     # real backlog even though _pending.qsize() is pinned by max_pending
     # — without counting them, a bulk burst against a small max_pending
     # reads as shallow and runs permanently capped ticks
-    srv._pending.put_nowait(object())
+    srv._pending.put_nowait((1, 100, None))
     srv._parked = srv.ATTACH_PRIORITY_MAX_BACKLOG
     assert srv._tick_size() == 10            # 1 queued + 4 parked = deep
     srv._parked = 0
+
+
+def test_interactive_priority_admission(server):
+    """A short (interactive-class) request submitted behind a bulk burst
+    admits BEFORE the queued bulk sessions (priority-then-FIFO): each
+    admission costs ~100 ms wall on TPU, so FIFO put an interactive
+    request's TTFA at ~100 ms x queued-bulk-jobs (measured p95 ~400-1000
+    ms behind a 12-long burst at B=16)."""
+    import threading
+
+    srv = BatchedTTSServer(server.gen, slots=1, chunk_frames=4)
+    order = []
+    entered = threading.Event()
+    release = threading.Event()
+    orig = srv._dispatch_admission
+
+    def gated(session):
+        order.append(session)
+        entered.set()
+        release.wait(60)
+        return orig(session)
+
+    srv._dispatch_admission = gated
+    srv.start()
+    try:
+        first = srv.submit("holds the admission worker",
+                           max_audio_length_ms=4_160)
+        assert entered.wait(30)  # dispatch worker is inside gated(first)
+        bulk = [srv.submit(f"bulk job {i}", max_audio_length_ms=4_160)
+                for i in range(3)]
+        quick = srv.submit("quick one", max_audio_length_ms=400)
+        release.set()
+        for s in (first, *bulk, quick):  # all complete despite reordering
+            s.audio(timeout=300)
+    finally:
+        release.set()
+        srv.stop()
+    assert order[0] is first      # already in flight when the burst came
+    assert order[1] is quick      # jumped every queued bulk admission
+    assert order[2:] == bulk      # FIFO within the bulk class
+
+
+def test_explicit_priority_overrides_derivation(server):
+    """Session.priority overrides the max_audio_length_ms derivation:
+    a long job marked priority 0 admits ahead of queued derived-bulk
+    jobs (the HTTP "priority" knob rides this)."""
+    import threading
+
+    srv = BatchedTTSServer(server.gen, slots=1, chunk_frames=4)
+    order = []
+    entered = threading.Event()
+    release = threading.Event()
+    orig = srv._dispatch_admission
+
+    def gated(session):
+        order.append(session)
+        entered.set()
+        release.wait(60)
+        return orig(session)
+
+    srv._dispatch_admission = gated
+    srv.start()
+    try:
+        first = srv.submit("holds the admission worker",
+                           max_audio_length_ms=4_160)
+        assert entered.wait(30)
+        slow = srv.submit("derived bulk", max_audio_length_ms=4_160)
+        vip = srv.submit("long but marked interactive",
+                         max_audio_length_ms=4_160, priority=0)
+        release.set()
+        for s in (first, slow, vip):
+            s.audio(timeout=300)
+    finally:
+        release.set()
+        srv.stop()
+    assert order == [first, vip, slow]
