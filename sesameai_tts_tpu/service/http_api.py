@@ -416,6 +416,7 @@ class TTSRequestHandler(BaseHTTPRequestHandler):
             "max_audio_length_ms": body.get("max_audio_length_ms", 30_000),
             "temperature": body.get("temperature", 0.8),
             "topk": body.get("topk", 40),
+            "priority": body.get("priority"),
         })
         if session is None:
             return
