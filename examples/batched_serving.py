@@ -44,6 +44,19 @@ def main():
     wall = time.time() - t0
     print(f"{total_audio:.1f}s audio across {len(texts)} sessions in {wall:.1f}s "
           f"wall ({total_audio/wall:.1f}x realtime aggregate)")
+
+    # interactive request mid-bulk: short budgets (≤4 s, or an explicit
+    # priority=0) admit AHEAD of queued bulk jobs — see docs/SERVING.md
+    bulk = [server.submit(t, max_audio_length_ms=30_000) for t in texts]
+    t0 = time.time()
+    quick = server.submit("Quick interactive reply.", max_audio_length_ms=2_000)
+    quick.chunks.get(timeout=600)  # first audio despite the bulk backlog
+    print(f"interactive TTFA behind a {len(bulk)}-job bulk burst: "
+          f"{1000*(time.time()-t0):.0f} ms")
+    for s in bulk:
+        s.cancel()
+    for s in bulk:
+        s.audio(timeout=600)
     server.stop()
 
 
