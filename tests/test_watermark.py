@@ -201,3 +201,34 @@ def test_streaming_matches_offline_embed_interior(wm):
     # included (the mark cutoff follows the offline bucket policy)
     lo = 8 * 512 + 2048
     np.testing.assert_allclose(stream[lo:], off[lo:len(stream)], atol=2e-4)
+
+
+def test_check_audio_cli_roundtrip(wm, tmp_path, capsys, monkeypatch):
+    """The file checker + CLI (reference watermarking.py:12-17, 62-69):
+    a watermarked WAV on disk verifies and prints "Watermarked", an
+    unmarked one prints "Not watermarked"; the console entry point
+    (sesame-tts-check-audio) drives the same path via --audio_path."""
+    from sesameai_tts_tpu.audio.io import write_wav
+    from sesameai_tts_tpu.watermark.api import (
+        check_audio_from_file,
+        cli_check_audio,
+        watermark,
+    )
+
+    audio = _speechlike(4.0, 24_000, seed=21)
+    marked, rate = watermark(wm, audio, 24_000, CSM_1B_WATERMARK)
+    good = tmp_path / "marked.wav"
+    plain = tmp_path / "plain.wav"
+    write_wav(str(good), marked, rate)
+    write_wav(str(plain), audio, 24_000)
+
+    assert check_audio_from_file(str(good)) is True
+    assert check_audio_from_file(str(plain)) is False
+    out = capsys.readouterr().out
+    assert f"Watermarked: {good}" in out
+    assert f"Not watermarked: {plain}" in out
+
+    monkeypatch.setattr("sys.argv",
+                        ["sesame-tts-check-audio", "--audio_path", str(good)])
+    cli_check_audio()
+    assert "Watermarked" in capsys.readouterr().out
