@@ -519,3 +519,17 @@ def test_tts_priority_knob(api):
     with pytest.raises(urllib.error.HTTPError) as e:
         _post(base, "/tts", {"text": "bad prio", "priority": "soon"})
     assert e.value.code == 400
+
+
+def test_openai_speech_priority_knob(api):
+    """/v1/audio/speech forwards the "priority" extension knob to the
+    admission queue (and rejects junk with a 400, same as /tts)."""
+    base, _ = api
+    with _post(base, "/v1/audio/speech",
+               {"input": "priority through openai", "response_format": "wav",
+                "max_audio_length_ms": 400, "priority": 0, "topk": 5}) as r:
+        assert r.status == 200
+        assert len(r.read()) > 44
+    with pytest.raises(urllib.error.HTTPError) as e:
+        _post(base, "/v1/audio/speech", {"input": "x", "priority": "nope"})
+    assert e.value.code == 400
